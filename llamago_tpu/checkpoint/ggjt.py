@@ -1,0 +1,201 @@
+"""ggjt v1 checkpoint format: reader and writer.
+
+Format parity with the reference loader (reference: pkg/llama/llama.go:712-976)
+and converter (reference: scripts/convert-pth-to-ggml.py:109-232):
+
+  header:  int32 magic 0x67676a74 ('ggjt'), int32 version 1,
+           int32 vocab_size, dim, multiple_of, n_heads, n_layers,
+           rot (= dim // n_heads, obsolete), ftype (0=f32, 1=f16)
+  vocab:   vocab_size × { int32 len, len bytes piece, f32 score }
+  tensors: repeated { int32 n_dims (1|2), int32 name_len, int32 dtype,
+                      int32 ne[n_dims]  (ne[0] = contiguous/fastest dim),
+                      name bytes, pad to 32-byte file alignment,
+                      raw data } until EOF
+
+A 2-D tensor with file dims ne=[in, out] is row-major [out, in] as a
+numpy array — i.e. the torch nn.Linear [out_features, in_features]
+layout the converter wrote verbatim.
+
+The writer exists so tests can build tiny real checkpoints and so our
+converter (checkpoint/convert.py) can emit reference-compatible files.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+from llamago_tpu.config import ModelConfig
+from llamago_tpu.tokenizer import Vocab
+
+GGJT_MAGIC = 0x67676A74  # reference: pkg/llama/llama.go:26
+GGJT_VERSION = 1  # reference: pkg/llama/llama.go:29
+ALIGNMENT = 32  # reference: pkg/llama/llama.go:925-933
+
+# dtype codes in tensor headers (reference: scripts/convert-pth-to-ggml.py:29-35
+# maps ftype->these via WTYPES; pkg/ml/ml.go:85-94 mirrors them).
+DTYPE_F32 = 0
+DTYPE_F16 = 1
+_DTYPE_TO_NP = {DTYPE_F32: np.float32, DTYPE_F16: np.float16}
+_NP_TO_DTYPE = {np.dtype(np.float32): DTYPE_F32, np.dtype(np.float16): DTYPE_F16}
+
+
+@dataclass
+class GGJTCheckpoint:
+    config: ModelConfig
+    vocab: Vocab
+    # name -> numpy array in the file's row-major layout:
+    # 2-D weights are [out_features, in_features]; dtype f32 or f16.
+    tensors: dict[str, np.ndarray]
+    ftype: int = 0
+
+
+def expected_tensor_names(n_layers: int) -> list[str]:
+    """The full tensor name set (reference: pkg/llama/llama.go:819-863)."""
+    names = ["tok_embeddings.weight", "norm.weight", "output.weight"]
+    for i in range(n_layers):
+        p = f"layers.{i}."
+        names += [
+            p + "attention_norm.weight",
+            p + "attention.wq.weight",
+            p + "attention.wk.weight",
+            p + "attention.wv.weight",
+            p + "attention.wo.weight",
+            p + "ffn_norm.weight",
+            p + "feed_forward.w1.weight",
+            p + "feed_forward.w2.weight",
+            p + "feed_forward.w3.weight",
+        ]
+    return names
+
+
+def read_ggjt(path: str, max_seq_len: int = 1024) -> GGJTCheckpoint:
+    """Parse a ggjt v1 file (reference: LoadModel, pkg/llama/llama.go:712-976).
+
+    Unlike the reference (scalar FP16->FP32 loop, llama.go:938-941), tensor
+    data is memory-mapped and sliced zero-copy; FP16 stays FP16 (the device
+    upload casts to the compute dtype).
+    """
+    buf = np.memmap(path, dtype=np.uint8, mode="r")
+    pos = 0
+
+    def read_i32() -> int:
+        nonlocal pos
+        (v,) = struct.unpack_from("<i", buf, pos)
+        pos += 4
+        return v
+
+    magic = read_i32()
+    if magic != GGJT_MAGIC:
+        raise ValueError(f"{path}: bad magic {magic:#x}, want {GGJT_MAGIC:#x} ('ggjt')")
+    version = read_i32()
+    if version != GGJT_VERSION:
+        raise ValueError(f"{path}: unsupported ggjt version {version}")
+
+    vocab_size = read_i32()
+    dim = read_i32()
+    multiple_of = read_i32()
+    n_heads = read_i32()
+    n_layers = read_i32()
+    _rot = read_i32()  # obsolete (= dim // n_heads)
+    ftype = read_i32()
+
+    # --- vocab (reference: llama.go:799-811)
+    tokens: list[tuple[bytes, float]] = []
+    for _ in range(vocab_size):
+        n = read_i32()
+        piece = bytes(buf[pos : pos + n])
+        pos += n
+        (score,) = struct.unpack_from("<f", buf, pos)
+        pos += 4
+        tokens.append((piece, score))
+    vocab = Vocab(tokens)
+
+    # --- tensors (reference: llama.go:889-966)
+    tensors: dict[str, np.ndarray] = {}
+    total = len(buf)
+    while pos + 12 <= total:
+        n_dims = read_i32()
+        if n_dims < 1 or n_dims > 2:
+            raise ValueError(f"{path}: bad tensor n_dims={n_dims} at offset {pos - 4}")
+        name_len = read_i32()
+        dtype = read_i32()
+        ne = [read_i32() for _ in range(n_dims)]
+        name = bytes(buf[pos : pos + name_len]).decode("utf-8")
+        pos += name_len
+        pos = (pos + ALIGNMENT - 1) // ALIGNMENT * ALIGNMENT
+
+        np_dtype = _DTYPE_TO_NP.get(dtype)
+        if np_dtype is None:
+            raise ValueError(f"{path}: tensor '{name}' has unsupported dtype {dtype}")
+        count = int(np.prod(ne))
+        nbytes = count * np.dtype(np_dtype).itemsize
+        data = buf[pos : pos + nbytes].view(np_dtype)
+        pos += nbytes
+        # file ne[0] is the fastest dim -> numpy shape is reversed(ne)
+        tensors[name] = data.reshape(tuple(reversed(ne)))
+
+    missing = set(expected_tensor_names(n_layers)) - set(tensors)
+    if missing:
+        raise ValueError(f"{path}: missing tensors: {sorted(missing)[:5]}...")
+
+    config = ModelConfig(
+        vocab_size=vocab_size,
+        dim=dim,
+        n_layers=n_layers,
+        n_heads=n_heads,
+        multiple_of=multiple_of,
+        max_seq_len=max_seq_len,
+    )
+    return GGJTCheckpoint(config=config, vocab=vocab, tensors=tensors, ftype=ftype)
+
+
+def write_ggjt(
+    path: str,
+    config: ModelConfig,
+    vocab: Vocab,
+    tensors: dict[str, np.ndarray],
+    ftype: int | None = None,
+) -> None:
+    """Emit a ggjt v1 file byte-compatible with the reference loader.
+
+    Tensors must be in the file's row-major layout ([out, in] for 2-D),
+    dtype float32 or float16. Mirrors write_header/write_tokens/
+    process_and_write_variables (reference: scripts/convert-pth-to-ggml.py:109-232)
+    for the single-part case.
+    """
+    if ftype is None:
+        ftype = 1 if any(t.dtype == np.float16 for t in tensors.values()) else 0
+    with open(path, "wb") as f:
+        f.write(
+            struct.pack(
+                "<9i",
+                GGJT_MAGIC,
+                GGJT_VERSION,
+                config.vocab_size,
+                config.dim,
+                config.multiple_of,
+                config.n_heads,
+                config.n_layers,
+                config.head_dim,  # rot, obsolete
+                ftype,
+            )
+        )
+        for piece, score in vocab.tokens:
+            f.write(struct.pack("<i", len(piece)))
+            f.write(piece)
+            f.write(struct.pack("<f", score))
+        for name, arr in tensors.items():
+            arr = np.ascontiguousarray(arr)
+            dtype = _NP_TO_DTYPE[arr.dtype]
+            ne = list(reversed(arr.shape))
+            sname = name.encode("utf-8")
+            f.write(struct.pack("<3i", arr.ndim, len(sname), dtype))
+            for d in ne:
+                f.write(struct.pack("<i", d))
+            f.write(sname)
+            off = f.tell()
+            f.write(b"\x00" * (-off % ALIGNMENT))
+            f.write(arr.tobytes())

@@ -1,0 +1,160 @@
+"""Checkpoint tensors -> device parameter pytree.
+
+The reference keeps weights as a flat name->Tensor map inside a
+LLaMA-shaped struct (reference: pkg/llama/llama.go:181-193,819-863). Here
+the parameters are a pytree designed for XLA:
+
+  * per-layer weights are STACKED along a leading layer axis so the
+    transformer runs as one `lax.scan` over layers (one compiled block,
+    not n_layers copies);
+  * 2-D weights are transposed from the checkpoint's [out, in] to
+    [in, out] so the forward pass is plain `x @ w` (row-major MXU feed);
+  * everything is cast to the configured compute/storage dtype on upload
+    (the reference upconverts FP16 files to FP32 scalars at load,
+    llama.go:938-941 — here the cast happens once, on device).
+
+Layout:
+  tok_embeddings [V, D]      norm [D]        output [D, V]
+  layers/attention_norm [L, D]   layers/ffn_norm [L, D]
+  layers/wq [L, D, H*hd]  wk [L, D, KV*hd]  wv [L, D, KV*hd]  wo [L, H*hd, D]
+  layers/w1 [L, D, F]     w2 [L, F, D]      w3 [L, D, F]
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llamago_tpu.config import ModelConfig
+
+Params = dict[str, Any]
+
+_LAYER_KEYS = {
+    "attention_norm": "attention_norm.weight",
+    "wq": "attention.wq.weight",
+    "wk": "attention.wk.weight",
+    "wv": "attention.wv.weight",
+    "wo": "attention.wo.weight",
+    "ffn_norm": "ffn_norm.weight",
+    "w1": "feed_forward.w1.weight",
+    "w2": "feed_forward.w2.weight",
+    "w3": "feed_forward.w3.weight",
+}
+
+
+def _stack_layers(
+    tensors: dict[str, np.ndarray], n_layers: int, key: str
+) -> np.ndarray:
+    suffix = _LAYER_KEYS[key]
+    mats = [np.asarray(tensors[f"layers.{i}.{suffix}"]) for i in range(n_layers)]
+    out = np.stack(mats)
+    if out.ndim == 3:
+        # [L, out, in] -> [L, in, out]
+        out = out.transpose(0, 2, 1)
+    return out
+
+
+def host_parameters(config: ModelConfig, tensors: dict[str, np.ndarray]) -> Params:
+    """Assemble the host-side (numpy) parameter pytree from checkpoint tensors."""
+    layers = {k: _stack_layers(tensors, config.n_layers, k) for k in _LAYER_KEYS}
+    return {
+        "tok_embeddings": np.asarray(tensors["tok_embeddings.weight"]),
+        "norm": np.asarray(tensors["norm.weight"]),
+        "output": np.asarray(tensors["output.weight"]).T,
+        "layers": layers,
+    }
+
+
+def load_parameters(
+    config: ModelConfig,
+    tensors: dict[str, np.ndarray],
+    shardings: Params | None = None,
+) -> Params:
+    """Upload checkpoint tensors to device in the configured dtypes.
+
+    `shardings` is an optional pytree of jax.sharding.Sharding matching the
+    params structure (see parallel/sharding.py); None = single device.
+    """
+    host = host_parameters(config, tensors)
+    return _place(config, host, shardings)
+
+
+def _place(config: ModelConfig, host: Params, shardings: Params | None) -> Params:
+    if config.weight_dtype in ("int8", "int4"):
+        from llamago_tpu.ops.quant import quantize_params
+
+        return quantize_params(config, host, shardings)
+    dtype = jnp.dtype(config.weight_dtype)
+
+    def put(leaf, shard):
+        arr = jnp.asarray(leaf, dtype=dtype)
+        return jax.device_put(arr, shard) if shard is not None else arr
+
+    if shardings is None:
+        return jax.tree.map(lambda a: put(a, None), host)
+    return jax.tree.map(put, host, shardings)
+
+
+def random_parameters(
+    config: ModelConfig,
+    seed: int = 0,
+    scale: float = 0.02,
+    shardings: Params | None = None,
+) -> Params:
+    """Random-init parameters, generated ON DEVICE.
+
+    Used by tests and by bench.py: for benchmark-sized models (7B+) this
+    avoids materializing gigabytes on the host and pushing them through a
+    (possibly tunneled) transfer — each leaf is created by a jitted
+    normal() directly in HBM.
+    """
+    dtype = jnp.dtype(
+        config.weight_dtype if config.weight_dtype not in ("int8", "int4") else "bfloat16"
+    )
+    d, v, f = config.dim, config.vocab_size, config.ffn_hidden
+    h, kv, hd, layers = config.n_heads, config.kv_heads, config.head_dim, config.n_layers
+    shapes = {
+        "tok_embeddings": (v, d),
+        "norm": (d,),
+        "output": (d, v),
+        "layers": {
+            "attention_norm": (layers, d),
+            "ffn_norm": (layers, d),
+            "wq": (layers, d, h * hd),
+            "wk": (layers, d, kv * hd),
+            "wv": (layers, d, kv * hd),
+            "wo": (layers, h * hd, d),
+            "w1": (layers, d, f),
+            "w2": (layers, f, d),
+            "w3": (layers, d, f),
+        },
+    }
+
+    leaves, treedef = jax.tree.flatten(shapes, is_leaf=lambda x: isinstance(x, tuple))
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
+
+    @jax.jit
+    def make(key, shape):
+        if len(shape) == 1 or shape[-1] == 0:
+            return jnp.ones(shape, dtype)  # norm gains
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+    params = treedef.unflatten(
+        [make(k, s) for k, s in zip(keys, leaves)]
+    )
+    if config.weight_dtype in ("int8", "int4"):
+        # quantize_params accepts device arrays: quantization runs jitted
+        # on device, so bench-sized random models never touch the host.
+        from llamago_tpu.ops.quant import quantize_params
+
+        return quantize_params(config, params, shardings)
+    if shardings is not None:
+        params = jax.tree.map(
+            lambda a, s: jax.device_put(a, s) if s is not None else a,
+            params,
+            shardings,
+        )
+    return params
