@@ -1,0 +1,139 @@
+"""LLaMA transformer as a pure function.
+
+Functional re-design of the reference's per-step graph construction
+(reference: Eval, pkg/llama/llama.go:211-426). Where the reference
+rebuilds an op graph from scratch every token (llama.go:232) and runs it
+on a goroutine pool, this is a single traced function — jitted once per
+(batch, seq-bucket) shape — with:
+
+  * `lax.scan` over layers (stacked weights; one compiled block);
+  * a static-shape KV cache written via `lax.dynamic_update_slice`
+    (vs. the reference's float-offset View1D+Copy, llama.go:274-278);
+  * RoPE applied ONCE to new K before caching — the reference
+    re-ropes the entire cached K prefix every step (llama.go:290-297);
+  * GQA (n_kv_heads < n_heads) support the reference lacks;
+  * bf16 matmuls on the MXU with f32 softmax/norm reductions.
+
+Architecture parity, per layer (reference: llama.go:246-369):
+  x += wo @ attn(rope(q), rope(k), v)  over RMSNorm(x)*attention_norm
+  x += w2 @ (silu(w1 h) * (w3 h))      over RMSNorm(x)*ffn_norm
+final: logits = output @ (RMSNorm(x)*norm)   (llama.go:374-384)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from llamago_tpu.config import ModelConfig
+from llamago_tpu.ops.basic import apply_rope, linear, rms_norm, swiglu
+from llamago_tpu.runtime.kv_cache import KVCache
+
+NEG_INF = float("-inf")
+
+
+def _update_cache(cache_layer: jnp.ndarray, new: jnp.ndarray, write_pos: jnp.ndarray):
+    """Write new [B, T, KV, hd] into cache [B, S, KV, hd] at per-batch offsets."""
+
+    def upd(c, n, p):  # c: [S, KV, hd], n: [T, KV, hd], p: scalar
+        zero = jnp.zeros((), p.dtype)
+        return jax.lax.dynamic_update_slice(c, n, (p, zero, zero))
+
+    return jax.vmap(upd)(cache_layer, new, write_pos)
+
+
+def _attention(
+    config: ModelConfig,
+    q: jnp.ndarray,  # [B, T, H, hd] (roped)
+    k_cache: jnp.ndarray,  # [B, S, KV, hd] (roped)
+    v_cache: jnp.ndarray,  # [B, S, KV, hd]
+    positions: jnp.ndarray,  # [B, T] absolute query positions
+) -> jnp.ndarray:
+    """Causal attention of new queries against the full cache buffer.
+
+    The mask `slot <= query_pos` covers exactly the written prefix because
+    cache slot j always holds the token at absolute position j (the
+    context-swap eviction rewrites from the keep-point, preserving this
+    invariant — see runtime/engine.py). Equivalent to the reference's
+    DiagMaskInf + SoftMax (llama.go:307-313) without materializing -inf
+    into a full [ctx, ctx] pass.
+    """
+    b, t, h, hd = q.shape
+    s = k_cache.shape[1]
+    kv = config.kv_heads
+    g = h // kv  # GQA group size
+
+    qg = q.reshape(b, t, kv, g, hd)
+    scale = 1.0 / (hd**0.5)  # reference: llama.go:303 (1/sqrt(embd/heads))
+    acc = jnp.promote_types(q.dtype, jnp.float32)
+    # scores: [B, KV, G, T, S]
+    scores = jnp.einsum("btkgd,bskd->bkgts", qg, k_cache, preferred_element_type=acc)
+    scores = scores * scale
+
+    slot = jnp.arange(s, dtype=jnp.int32)
+    allowed = slot[None, None, :] <= positions[:, :, None]  # [B, T, S]
+    scores = jnp.where(allowed[:, None, None, :, :], scores, NEG_INF)
+
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bkgts,bskd->btkgd", probs, v_cache, preferred_element_type=acc)
+    return out.reshape(b, t, h * hd).astype(q.dtype)
+
+
+@partial(jax.jit, static_argnames=("config", "return_all_logits"), donate_argnames=("cache",))
+def forward(
+    params,
+    tokens: jnp.ndarray,  # [B, T] int32
+    cache: KVCache,
+    write_pos: jnp.ndarray,  # [B] int32 — first cache slot to write
+    config: ModelConfig,
+    return_all_logits: bool = False,
+):
+    """One transformer step (prefill when T>1, decode when T=1).
+
+    Returns (logits, new_cache): logits [B, T, V] if return_all_logits
+    (needed for perplexity) else [B, V] for the last position only —
+    parity with the reference copying only the last row out
+    (llama.go:394-401).
+    """
+    b, t = tokens.shape
+    dtype = jnp.dtype(config.dtype)
+
+    positions = write_pos[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]  # [B, T]
+
+    # Embedding lookup (reference: GetRows, llama.go:244).
+    x = params["tok_embeddings"][tokens].astype(dtype)  # [B, T, D]
+
+    def block(x, layer):
+        lp, k_layer, v_layer = layer
+
+        # --- attention (reference: llama.go:250-345)
+        h = rms_norm(x, lp["attention_norm"], config.norm_eps)
+        q = linear(h, lp["wq"]).reshape(b, t, config.n_heads, config.head_dim)
+        k = linear(h, lp["wk"]).reshape(b, t, config.kv_heads, config.head_dim)
+        v = linear(h, lp["wv"]).reshape(b, t, config.kv_heads, config.head_dim)
+
+        q = apply_rope(q, positions, config.rope_theta)
+        k = apply_rope(k, positions, config.rope_theta)
+
+        k_layer = _update_cache(k_layer, k.astype(k_layer.dtype), write_pos)
+        v_layer = _update_cache(v_layer, v.astype(v_layer.dtype), write_pos)
+
+        attn = _attention(config, q, k_layer, v_layer, positions)
+        x = x + linear(attn, lp["wo"])
+
+        # --- FFN (reference: llama.go:340-369)
+        h = rms_norm(x, lp["ffn_norm"], config.norm_eps)
+        x = x + swiglu(h, lp["w1"], lp["w2"], lp["w3"])
+        return x, (k_layer, v_layer)
+
+    x, (k_new, v_new) = jax.lax.scan(block, x, (params["layers"], cache.k, cache.v))
+
+    # --- final norm + lm head (reference: llama.go:374-384)
+    x = rms_norm(x, params["norm"], config.norm_eps)
+    if not return_all_logits:
+        x = x[:, -1, :]
+    logits = linear(x, params["output"], compute_dtype=dtype).astype(jnp.float32)
+
+    return logits, KVCache(k=k_new, v=v_new)

@@ -15,8 +15,15 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# Persistent compilation cache: f64 CPU compiles run 8-20s each; reruns hit
+# the cache and the suite stays fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/llamago_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 from llamago_tpu.config import ModelConfig  # noqa: E402
 from llamago_tpu.tokenizer import Vocab  # noqa: E402
