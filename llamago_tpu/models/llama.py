@@ -81,21 +81,21 @@ def _attention(
     return out.reshape(b, t, h * hd).astype(q.dtype)
 
 
-@partial(jax.jit, static_argnames=("config", "return_all_logits"), donate_argnames=("cache",))
-def forward(
+def forward_impl(
     params,
     tokens: jnp.ndarray,  # [B, T] int32
     cache: KVCache,
     write_pos: jnp.ndarray,  # [B] int32 — first cache slot to write
     config: ModelConfig,
     return_all_logits: bool = False,
+    logit_index: jnp.ndarray | None = None,  # [B] int32 — per-batch position
 ):
     """One transformer step (prefill when T>1, decode when T=1).
 
     Returns (logits, new_cache): logits [B, T, V] if return_all_logits
-    (needed for perplexity) else [B, V] for the last position only —
-    parity with the reference copying only the last row out
-    (llama.go:394-401).
+    (needed for perplexity), else [B, V] at `logit_index` (for
+    right-padded bucketed prefill) or the last position — parity with the
+    reference copying only the last row out (llama.go:394-401).
     """
     b, t = tokens.shape
     dtype = jnp.dtype(config.dtype)
@@ -133,7 +133,47 @@ def forward(
     # --- final norm + lm head (reference: llama.go:374-384)
     x = rms_norm(x, params["norm"], config.norm_eps)
     if not return_all_logits:
-        x = x[:, -1, :]
+        if logit_index is None:
+            x = x[:, -1, :]
+        else:
+            x = jnp.take_along_axis(x, logit_index[:, None, None], axis=1)[:, 0, :]
     logits = linear(x, params["output"], compute_dtype=dtype).astype(jnp.float32)
 
     return logits, KVCache(k=k_new, v=v_new)
+
+
+forward = partial(jax.jit, static_argnames=("config", "return_all_logits"),
+                  donate_argnames=("cache",))(forward_impl)
+
+
+@partial(jax.jit, static_argnames=("config",), donate_argnames=("cache",))
+def prefill_into_slot(
+    params,
+    tokens: jnp.ndarray,  # [1, T] int32 (right-padded to a bucket)
+    cache: KVCache,  # full engine cache, batch = n_slots
+    slot: jnp.ndarray,  # scalar int32
+    write_pos: jnp.ndarray,  # [1] int32
+    logit_index: jnp.ndarray,  # [1] int32 — last REAL prompt position
+    config: ModelConfig,
+):
+    """Prefill one decode slot of a multi-slot cache.
+
+    Slices the slot's cache out, runs the forward pass at batch 1, and
+    writes it back — so admitting a job into a continuously-batched engine
+    costs one prompt-sized prefill, not a full-batch one. (The reference's
+    equivalent is each pod owning a private context, server.go:110-151.)
+    """
+    l, _, s, kv, hd = cache.k.shape
+    zero = jnp.zeros((), slot.dtype)
+    start = (zero, slot, zero, zero, zero)
+    sub = KVCache(
+        k=jax.lax.dynamic_slice(cache.k, start, (l, 1, s, kv, hd)),
+        v=jax.lax.dynamic_slice(cache.v, start, (l, 1, s, kv, hd)),
+    )
+    logits, sub = forward_impl(
+        params, tokens, sub, write_pos, config, logit_index=logit_index
+    )
+    return logits[0], KVCache(
+        k=jax.lax.dynamic_update_slice(cache.k, sub.k, start),
+        v=jax.lax.dynamic_update_slice(cache.v, sub.v, start),
+    )

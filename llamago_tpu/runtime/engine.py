@@ -1,0 +1,352 @@
+"""Generation engine: continuously-batched prefill/decode with context swap.
+
+This is the TPU-native re-design of the reference's serving core — the
+pods scheduler (reference: Engine, pkg/server/server.go:84-106) plus the
+per-job generation loop (reference: Do, server.go:110-278). The reference
+runs up to MaxPods independent goroutines, each owning a private model
+context; here ONE resident model decodes a slot-batched step, and "pods"
+become decode slots:
+
+  * admission: a queued job is tokenized (leading-space + BOS parity with
+    server.go:120-124), its prompt prefilled into a free slot's cache rows
+    (bucketed lengths, so only a handful of XLA programs exist);
+  * decode: every iteration samples one token for ALL active slots from
+    the previous logits, then runs one batched forward step;
+  * context swap (parity with server.go:165-172): when a slot hits the
+    context limit, keep the first keep_count positions, re-feed half of
+    the remaining most-recent tokens, and continue — "infinite text
+    generation via context swapping";
+  * per-job phase timers and tok/s accounting (parity with the report at
+    server.go:244-274).
+
+The loop is host-driven with exactly one device sync per generated token
+(the sampled ids, needed for streaming/stop decisions); all math stays
+on device. See bench.py for the fully-on-device multi-token fast path.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+from enum import Enum
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llamago_tpu.config import GenerateConfig, ModelConfig
+from llamago_tpu.models.llama import forward, prefill_into_slot
+from llamago_tpu.ops.sampling import SamplerState, push_tokens, reset_slots, sample
+from llamago_tpu.runtime.kv_cache import KVCache
+from llamago_tpu.tokenizer import EOS_TOKEN, Vocab, detokenize, tokenize
+
+DEFAULT_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+class JobStatus(str, Enum):
+    QUEUED = "queued"        # reference: server.go:30-38 job lifecycle
+    PROCESSING = "processing"
+    FINISHED = "finished"
+    FAILED = "failed"        # the reference leaves failed jobs stuck
+    #                          ("TODO: Finish job properly", server.go:176)
+
+
+@dataclass
+class Job:
+    id: str
+    prompt: str
+    gen: GenerateConfig
+    status: JobStatus = JobStatus.QUEUED
+    created: float = field(default_factory=time.time)
+    started: float = 0.0
+    finished: float = 0.0
+    prompt_tokens: int = 0
+    output_tokens: list[int] = field(default_factory=list)
+    output: str = ""
+    error: str = ""
+    # timing (parity with the reference's per-job report, server.go:244-274)
+    ttft_ms: float = 0.0
+    eval_ms: list[float] = field(default_factory=list)
+    sample_ms: list[float] = field(default_factory=list)
+
+    @property
+    def tokens_per_second(self) -> float:
+        dur = (self.finished or time.time()) - self.started
+        return len(self.output_tokens) / dur if dur > 0 else 0.0
+
+
+@dataclass
+class _Slot:
+    job: Job | None = None
+    pos: int = 0                      # next cache position to write
+    history: list[int] = field(default_factory=list)  # prompt + generated
+    remaining: int = 0
+
+    @property
+    def free(self) -> bool:
+        return self.job is None
+
+
+class Engine:
+    """One resident model serving up to `slots` concurrent jobs."""
+
+    def __init__(
+        self,
+        config: ModelConfig,
+        params,
+        vocab: Vocab,
+        slots: int = 1,
+        buckets: tuple[int, ...] = DEFAULT_BUCKETS,
+        stream: bool = True,
+    ):
+        self.config = config
+        self.params = params
+        self.vocab = vocab
+        self.n_slots = slots
+        self.buckets = tuple(b for b in buckets if b <= config.max_seq_len) or (
+            config.max_seq_len,
+        )
+        self.cache = KVCache.create(config, batch=slots)
+        self.sampler_state = SamplerState.create(
+            slots, config.max_seq_len, config.vocab_size
+        )
+        self.logits = jnp.zeros((slots, config.vocab_size), jnp.float32)
+        self.rngs = jax.vmap(jax.random.PRNGKey)(jnp.arange(slots))  # [S] keys
+        self.slots = [_Slot() for _ in range(slots)]
+        self.stream = stream
+        self._queue: list[Job] = []
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._wake = threading.Event()
+
+    # ------------------------------------------------------------- queue
+
+    def submit(self, prompt: str, gen: GenerateConfig, job_id: str | None = None) -> Job:
+        """Queue a job (reference: PlaceJob, server.go:282-305)."""
+        job = Job(id=job_id or str(uuid.uuid4()), prompt=prompt, gen=gen)
+        with self._lock:
+            self._queue.append(job)
+        self._wake.set()
+        return job
+
+    # --------------------------------------------------------- admission
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def _admit(self, slot_idx: int, job: Job) -> None:
+        slot = self.slots[slot_idx]
+        gen = job.gen
+        job.started = time.time()
+
+        # Leading-space prompt normalization + BOS (reference: server.go:120-124).
+        ids = tokenize(self.vocab, " " + job.prompt, bos=True)
+        ctx = min(gen.ctx_size, self.config.max_seq_len)
+        if len(ids) >= ctx:
+            job.status = JobStatus.FAILED
+            job.error = f"prompt is too long: {len(ids)} tokens >= context {ctx}"
+            job.finished = time.time()
+            return
+
+        job.status = JobStatus.PROCESSING
+        job.prompt_tokens = len(ids)
+        slot.job = job
+        slot.history = list(ids)
+        slot.remaining = gen.max_tokens
+        seed = gen.seed if gen.seed >= 0 else time.time_ns() % (2**31)
+        self.rngs = self.rngs.at[slot_idx].set(jax.random.PRNGKey(seed))
+
+        # reset the repeat-penalty window, then feed the prompt into it
+        # (the reference's ring sees prompt tokens too, server.go:187-198)
+        mask = np.zeros(self.n_slots, bool)
+        mask[slot_idx] = True
+        self.sampler_state = reset_slots(self.sampler_state, jnp.asarray(mask))
+        self._push_slot_tokens(slot_idx, ids)
+
+        self._prefill(slot_idx, ids, write_pos=0)
+        slot.pos = len(ids)
+        job.ttft_ms = (time.time() - job.started) * 1000.0
+
+    def _push_slot_tokens(self, slot_idx: int, ids: list[int]) -> None:
+        toks = np.full((self.n_slots, len(ids)), -1, np.int32)
+        toks[slot_idx] = ids
+        active = np.zeros(self.n_slots, bool)
+        active[slot_idx] = True
+        self.sampler_state = push_tokens(
+            self.sampler_state, jnp.asarray(toks), jnp.asarray(active)
+        )
+
+    def _prefill(self, slot_idx: int, ids: list[int], write_pos: int) -> None:
+        bucket = self._bucket(len(ids))
+        padded = np.zeros((1, bucket), np.int32)
+        padded[0, : len(ids)] = ids
+        logits, self.cache = prefill_into_slot(
+            self.params,
+            jnp.asarray(padded),
+            self.cache,
+            jnp.asarray(slot_idx, jnp.int32),
+            jnp.asarray([write_pos], jnp.int32),
+            jnp.asarray([len(ids) - 1], jnp.int32),
+            self.config,
+        )
+        self.logits = self.logits.at[slot_idx].set(logits)
+
+    # ------------------------------------------------------ context swap
+
+    def _maybe_context_swap(self, slot_idx: int) -> None:
+        """Context-swap eviction (parity with server.go:160-172): on
+        overflow keep the first `keep_count` positions, re-feed half of the
+        last (ctx - keep) tokens as a batch, continue decoding.
+
+        Divergence note: the reference re-feeds a tail that INCLUDES the
+        pending not-yet-evaluated token and then evaluates it again —
+        a port bug (llama.cpp excludes `embd` from the re-fed tail). We
+        re-feed history EXCLUDING the pending token; the pending token
+        then goes through the normal decode step exactly once.
+        """
+        slot = self.slots[slot_idx]
+        gen = slot.job.gen
+        ctx = min(gen.ctx_size, self.config.max_seq_len)
+        if slot.pos + 1 <= ctx:
+            return
+        keep = min(gen.keep_count, ctx // 2)
+        left = slot.pos - keep
+        evaluated = slot.history[:-1]  # pending token is history[-1]
+        refeed = evaluated[len(evaluated) - left // 2 :] if left // 2 else []
+        if refeed:
+            self._prefill(slot_idx, refeed, write_pos=keep)
+        slot.pos = keep + len(refeed)
+
+    # ------------------------------------------------------------- step
+
+    def _gather_gen_arrays(self):
+        temp = np.ones(self.n_slots, np.float32)
+        top_k = np.ones(self.n_slots, np.int32)
+        top_p = np.ones(self.n_slots, np.float32)
+        rp = np.ones(self.n_slots, np.float32)
+        active = np.zeros(self.n_slots, bool)
+        for i, s in enumerate(self.slots):
+            if s.job is not None:
+                g = s.job.gen
+                temp[i], top_k[i], top_p[i], rp[i] = g.temp, g.top_k, g.top_p, g.repeat_penalty
+                active[i] = True
+        return temp, top_k, top_p, rp, active
+
+    def step(self) -> bool:
+        """One engine iteration. Returns True if any work was done."""
+        # --- admissions (reference Engine drains Queue while pods free,
+        # server.go:92-103)
+        with self._lock:
+            for i, slot in enumerate(self.slots):
+                if not self._queue:
+                    break
+                if slot.free:
+                    job = self._queue.pop(0)
+                    self._admit(i, job)
+
+        temp, top_k, top_p, rp, active = self._gather_gen_arrays()
+        if not active.any():
+            return False
+
+        # --- sample one token per active slot from the pending logits
+        t0 = time.time()
+        split = jax.vmap(lambda k: jax.random.split(k, 2))(self.rngs)  # [S, 2]
+        self.rngs = split[:, 0]
+        tokens_dev = sample(
+            split[:, 1], self.logits, self.sampler_state,
+            jnp.asarray(temp), jnp.asarray(top_k), jnp.asarray(top_p), jnp.asarray(rp),
+        )
+        tokens = np.asarray(tokens_dev)  # host sync
+        sample_dt = (time.time() - t0) * 1000.0
+
+        self.sampler_state = push_tokens(
+            self.sampler_state, tokens_dev[:, None], jnp.asarray(active)
+        )
+
+        # --- host bookkeeping: emit tokens, finish jobs
+        for i, slot in enumerate(self.slots):
+            if slot.job is None or not active[i]:
+                continue
+            tok = int(tokens[i])
+            job = slot.job
+            job.sample_ms.append(sample_dt)
+            job.output_tokens.append(tok)
+            slot.history.append(tok)
+            slot.remaining -= 1
+            if self.stream:
+                job.output = _render_output(self.vocab, job)
+            done = slot.remaining <= 0 or (job.gen.stop_at_eos and tok == EOS_TOKEN)
+            if done:
+                job.output = _render_output(self.vocab, job)
+                job.status = JobStatus.FINISHED
+                job.finished = time.time()
+                slot.job = None
+                active[i] = False
+
+        if not active.any():
+            return True
+
+        # --- context swap where needed, then one batched decode step
+        for i in range(self.n_slots):
+            if active[i]:
+                self._maybe_context_swap(i)
+
+        feed = np.zeros((self.n_slots, 1), np.int32)
+        pos = np.zeros(self.n_slots, np.int32)
+        for i, slot in enumerate(self.slots):
+            if active[i]:
+                feed[i, 0] = slot.history[-1]
+                pos[i] = slot.pos
+        t0 = time.time()
+        self.logits, self.cache = forward(
+            self.params, jnp.asarray(feed), self.cache, jnp.asarray(pos), self.config
+        )
+        eval_dt = (time.time() - t0) * 1000.0
+        for i, slot in enumerate(self.slots):
+            if active[i] and slot.job is not None:
+                slot.job.eval_ms.append(eval_dt)
+                slot.pos += 1
+        return True
+
+    # --------------------------------------------------------- lifecycle
+
+    def run_forever(self, poll_interval: float = 0.05) -> None:
+        """Engine loop (reference poll loop: server.go:84-106, 1s tick —
+        here an event wakes the loop immediately on submit)."""
+        while not self._stop.is_set():
+            if not self.step():
+                self._wake.wait(timeout=poll_interval)
+                self._wake.clear()
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self.run_forever, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._wake.set()
+        if self._thread:
+            self._thread.join(timeout=10)
+
+    # ------------------------------------------------------- convenience
+
+    def generate(self, prompt: str, gen: GenerateConfig) -> Job:
+        """Synchronous single-prompt generation (the CLI path — the
+        reference CLI also goes through the job machinery, main.go:112-147)."""
+        job = self.submit(prompt, gen)
+        while job.status in (JobStatus.QUEUED, JobStatus.PROCESSING):
+            self.step()
+        return job
+
+
+def _render_output(vocab: Vocab, job: Job) -> str:
+    """Output excludes the prompt and is trimmed (reference:
+    server.go:222-244 assembles output only from post-prompt tokens and
+    trims whitespace/newlines)."""
+    return detokenize(vocab, job.output_tokens).strip()

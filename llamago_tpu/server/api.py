@@ -1,0 +1,201 @@
+"""Async REST job API.
+
+Route/JSON parity with the reference Fiber server (reference:
+pkg/server/server.go:67-80, 300-407):
+
+  POST /jobs/            {"id": <uuid4>, "prompt": str}
+                         -> {"id", "prompt", "created", "status"}
+  GET  /jobs/status/:id  -> {"status"}
+  GET  /jobs/:id         -> {"id", "prompt", "output", "created",
+                             "started", "finished", "model", "status"}
+
+Error parity: 400 on malformed UUID, duplicate id, or prompt with more
+characters than the context size (server.go:318-335; chars, not tokens —
+the reference's own "TODO: Tokenize and check for max tokens" is handled
+properly at admission in runtime/engine.py).
+
+Beyond parity: jobs can end in "failed" with an "error" field (the
+reference leaves a failed eval stuck in processing, server.go:176-177),
+and GET /health exposes engine/queue metrics.
+
+The backend is the continuously-batched Engine — the reference's
+MaxPods-goroutines scheduler (server.go:84-106) reinterpreted as decode
+slots on one resident model.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from llamago_tpu.config import GenerateConfig, ServerConfig
+from llamago_tpu.runtime.engine import Engine, Job, JobStatus
+
+
+def _valid_uuid(s: str) -> bool:
+    try:
+        uuid.UUID(s)
+        return True
+    except (ValueError, AttributeError, TypeError):
+        return False
+
+
+class JobServer:
+    """HTTP frontend over an Engine. Own the engine's lifecycle."""
+
+    def __init__(self, engine: Engine, server_config: ServerConfig,
+                 gen_defaults: GenerateConfig, model_name: str = "model"):
+        self.engine = engine
+        self.config = server_config
+        self.gen_defaults = gen_defaults
+        self.model_name = model_name
+        self.jobs: dict[str, Job] = {}
+        self._lock = threading.Lock()
+        self._httpd: ThreadingHTTPServer | None = None
+
+    # ----------------------------------------------------------- actions
+
+    def place_job(self, job_id: str, prompt: str,
+                  gen: GenerateConfig | None = None) -> Job:
+        """reference: PlaceJob, server.go:282-305."""
+        job = self.engine.submit(prompt, gen or self.gen_defaults, job_id=job_id)
+        with self._lock:
+            self.jobs[job_id] = job
+        return job
+
+    def new_job(self, payload: dict) -> tuple[int, object]:
+        job_id = payload.get("id", "")
+        prompt = payload.get("prompt", "")
+        if not _valid_uuid(job_id):
+            return 400, "Wrong UUID4 id for request!"
+        with self._lock:
+            if job_id in self.jobs:
+                return 400, "Duplicated ID for the same request?"
+        if len(prompt) >= self.gen_defaults.ctx_size:
+            return 400, (
+                f"Prompt length {len(prompt)} is more than allowed "
+                f"{self.gen_defaults.ctx_size} chars!"
+            )
+        # per-request sampling overrides (beyond reference parity)
+        overrides = {
+            k: payload[k]
+            for k in ("temp", "top_k", "top_p", "repeat_penalty", "max_tokens", "seed")
+            if k in payload
+        }
+        gen = self.gen_defaults.replace(**overrides) if overrides else None
+        job = self.place_job(job_id, prompt, gen)
+        return 200, {
+            "id": job.id,
+            "prompt": job.prompt,
+            "created": int(job.created),
+            "status": job.status.value,
+        }
+
+    def get_status(self, job_id: str) -> tuple[int, object]:
+        if not _valid_uuid(job_id):
+            return 400, "Wrong UUID4 id for request!"
+        job = self.jobs.get(job_id)
+        if job is None:
+            return 400, "Request ID was not found!"
+        return 200, {"status": job.status.value}
+
+    def get_job(self, job_id: str) -> tuple[int, object]:
+        if not _valid_uuid(job_id):
+            return 400, "Wrong UUID4 id for request!"
+        job = self.jobs.get(job_id)
+        if job is None:
+            return 400, "Request ID was not found!"
+        body = {
+            "id": job.id,
+            "prompt": job.prompt,
+            "output": job.output,
+            "created": int(job.created),
+            "started": int(job.started),
+            "finished": int(job.finished),
+            "model": self.model_name,
+            "status": job.status.value,
+        }
+        if job.status == JobStatus.FAILED:
+            body["error"] = job.error
+        return 200, body
+
+    def health(self) -> tuple[int, object]:
+        with self._lock:
+            counts: dict[str, int] = {}
+            for j in self.jobs.values():
+                counts[j.status.value] = counts.get(j.status.value, 0) + 1
+        return 200, {
+            "slots": self.engine.n_slots,
+            "jobs": counts,
+            "model": self.model_name,
+        }
+
+    # ------------------------------------------------------------- serve
+
+    def serve_forever(self) -> None:
+        """Run engine thread + HTTP server (reference: Run, server.go:67-80)."""
+        self.engine.start()
+        handler = _make_handler(self)
+        self._httpd = ThreadingHTTPServer((self.config.host, self.config.port), handler)
+        try:
+            self._httpd.serve_forever()
+        finally:
+            self.engine.stop()
+
+    def start_background(self) -> None:
+        self.engine.start()
+        handler = _make_handler(self)
+        self._httpd = ThreadingHTTPServer((self.config.host, self.config.port), handler)
+        threading.Thread(target=self._httpd.serve_forever, daemon=True).start()
+
+    def shutdown(self) -> None:
+        if self._httpd:
+            self._httpd.shutdown()
+        self.engine.stop()
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1] if self._httpd else self.config.port
+
+
+def _make_handler(server: JobServer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _send(self, code: int, body: object) -> None:
+            if isinstance(body, str):
+                data = body.encode()
+                ctype = "text/plain; charset=utf-8"
+            else:
+                data = json.dumps(body).encode()
+                ctype = "application/json"
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_POST(self):
+            if self.path.rstrip("/") != "/jobs":
+                return self._send(404, "Not found")
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, json.JSONDecodeError):
+                return self._send(400, "Malformed JSON body")
+            self._send(*server.new_job(payload))
+
+        def do_GET(self):
+            parts = [p for p in self.path.split("/") if p]
+            if parts == ["health"]:
+                return self._send(*server.health())
+            if len(parts) == 3 and parts[:2] == ["jobs", "status"]:
+                return self._send(*server.get_status(parts[2]))
+            if len(parts) == 2 and parts[0] == "jobs":
+                return self._send(*server.get_job(parts[1]))
+            self._send(404, "Not found")
+
+    return Handler

@@ -8,22 +8,21 @@ device-count trick so no real TPU pod is needed.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-# Persistent compilation cache: f64 CPU compiles run 8-20s each; reruns hit
-# the cache and the suite stays fast.
-jax.config.update("jax_compilation_cache_dir", "/tmp/llamago_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# Force the CPU backend with 8 virtual devices for mesh/sharding tests.
+# NOTE: the JAX_PLATFORMS/XLA_FLAGS env-var route does NOT work under this
+# environment's 'axon' TPU plugin — jax.config.update is what takes effect.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+# NOTE: do not enable the persistent compilation cache here — XLA:CPU AOT
+# entries recorded on this machine reload with mismatched machine features
+# ("+prefer-no-scatter ... could lead to SIGILL" warnings) and barely hit.
 
 from llamago_tpu.config import ModelConfig  # noqa: E402
 from llamago_tpu.tokenizer import Vocab  # noqa: E402

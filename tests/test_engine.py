@@ -1,0 +1,130 @@
+"""Engine tests: generation loop, context swap, multi-slot independence,
+job lifecycle (reference behaviors: pkg/server/server.go:110-278)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llamago_tpu.checkpoint.params import host_parameters
+from llamago_tpu.config import GenerateConfig
+from llamago_tpu.runtime.engine import Engine, JobStatus
+
+from conftest import make_test_vocab, random_ggjt_tensors
+
+
+@pytest.fixture(scope="module")
+def engine_setup():
+    from llamago_tpu.config import MODEL_PRESETS
+
+    config = MODEL_PRESETS["tiny"].replace(
+        dtype="float32", weight_dtype="float32", max_seq_len=64
+    )
+    tensors = random_ggjt_tensors(config, seed=3)
+    params = jax.tree.map(
+        lambda a: jnp.asarray(np.asarray(a, np.float32)), host_parameters(config, tensors)
+    )
+    vocab = make_test_vocab()
+    return config, params, vocab
+
+
+GREEDY = GenerateConfig(max_tokens=10, ctx_size=64, temp=0.0)
+
+
+def test_greedy_generation_completes(engine_setup):
+    config, params, vocab = engine_setup
+    eng = Engine(config, params, vocab, slots=1, buckets=(16, 32, 64))
+    job = eng.generate("hello world", GREEDY)
+    assert job.status == JobStatus.FINISHED
+    assert len(job.output_tokens) == 10
+    assert job.prompt_tokens > 0
+    assert job.ttft_ms > 0
+    assert job.tokens_per_second > 0
+    assert job.finished >= job.started >= job.created
+
+
+def test_greedy_is_deterministic(engine_setup):
+    config, params, vocab = engine_setup
+    eng = Engine(config, params, vocab, slots=1, buckets=(16, 32, 64))
+    a = eng.generate("hello world", GREEDY).output_tokens
+    b = eng.generate("hello world", GREEDY).output_tokens
+    assert a == b
+
+
+def test_sampled_with_seed_is_deterministic(engine_setup):
+    config, params, vocab = engine_setup
+    gen = GenerateConfig(max_tokens=10, ctx_size=64, temp=0.8, seed=7)
+    eng = Engine(config, params, vocab, slots=1, buckets=(16, 32, 64))
+    a = eng.generate("hello", gen).output_tokens
+    b = eng.generate("hello", gen).output_tokens
+    assert a == b
+
+
+def test_multi_slot_matches_single_slot_greedy(engine_setup):
+    """Jobs decoded concurrently in a slot batch must produce exactly the
+    tokens they'd produce alone (pods-isolation parity)."""
+    config, params, vocab = engine_setup
+    solo = Engine(config, params, vocab, slots=1, buckets=(16, 32, 64))
+    ja = solo.generate("hello world", GREEDY)
+    jb = solo.generate("world", GREEDY)
+
+    duo = Engine(config, params, vocab, slots=2, buckets=(16, 32, 64))
+    a = duo.submit("hello world", GREEDY)
+    b = duo.submit("world", GREEDY)
+    while a.status in ("queued", "processing") or b.status in ("queued", "processing"):
+        duo.step()
+    assert a.status == JobStatus.FINISHED and b.status == JobStatus.FINISHED
+    assert a.output_tokens == ja.output_tokens
+    assert b.output_tokens == jb.output_tokens
+
+
+def test_context_swap_generates_past_context(engine_setup):
+    """With ctx 32 and 40 tokens to generate, the swap must kick in and
+    generation still completes ('infinite generation', server.go:160-172)."""
+    config, params, vocab = engine_setup
+    eng = Engine(config, params, vocab, slots=1, buckets=(16, 32, 64))
+    gen = GenerateConfig(max_tokens=40, ctx_size=32, temp=0.0)
+    job = eng.generate("hello world", gen)
+    assert job.status == JobStatus.FINISHED
+    assert len(job.output_tokens) == 40
+
+
+def test_context_swap_keep_count(engine_setup):
+    config, params, vocab = engine_setup
+    eng = Engine(config, params, vocab, slots=1, buckets=(16, 32, 64))
+    gen = GenerateConfig(max_tokens=40, ctx_size=32, temp=0.0, keep_count=4)
+    job = eng.generate("hello world", gen)
+    assert job.status == JobStatus.FINISHED
+    assert len(job.output_tokens) == 40
+
+
+def test_prompt_too_long_fails_cleanly(engine_setup):
+    """The reference leaves failed jobs stuck in 'processing'
+    (server.go:176 TODO); we fail them explicitly."""
+    config, params, vocab = engine_setup
+    eng = Engine(config, params, vocab, slots=1, buckets=(16, 32, 64))
+    job = eng.generate("hello " * 200, GenerateConfig(max_tokens=5, ctx_size=32))
+    assert job.status == JobStatus.FAILED
+    assert "too long" in job.error
+
+
+def test_output_excludes_prompt_and_is_trimmed(engine_setup):
+    config, params, vocab = engine_setup
+    eng = Engine(config, params, vocab, slots=1, buckets=(16, 32, 64))
+    job = eng.generate("hello world", GREEDY)
+    # output is detok of generated ids only (reference: server.go:222-244)
+    assert job.output == job.output.strip()
+    assert len(job.output_tokens) == 10
+
+
+def test_queue_overflow_waits_for_free_slot(engine_setup):
+    config, params, vocab = engine_setup
+    eng = Engine(config, params, vocab, slots=1, buckets=(16, 32, 64))
+    a = eng.submit("hello", GREEDY)
+    b = eng.submit("world", GREEDY)
+    for _ in range(200):
+        if b.status == JobStatus.FINISHED:
+            break
+        eng.step()
+    assert a.status == JobStatus.FINISHED
+    assert b.status == JobStatus.FINISHED

@@ -1,0 +1,147 @@
+"""REST job API tests (route/JSON/error parity: pkg/server/server.go:300-407)."""
+
+import json
+import time
+import urllib.error
+import urllib.request
+import uuid
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llamago_tpu.checkpoint.params import host_parameters
+from llamago_tpu.config import GenerateConfig, ServerConfig
+from llamago_tpu.runtime.engine import Engine
+from llamago_tpu.server.api import JobServer
+
+from conftest import make_test_vocab, random_ggjt_tensors
+
+
+@pytest.fixture(scope="module")
+def server():
+    from llamago_tpu.config import MODEL_PRESETS
+
+    config = MODEL_PRESETS["tiny"].replace(
+        dtype="float32", weight_dtype="float32", max_seq_len=64
+    )
+    tensors = random_ggjt_tensors(config, seed=4)
+    params = jax.tree.map(
+        lambda a: jnp.asarray(np.asarray(a, np.float32)), host_parameters(config, tensors)
+    )
+    engine = Engine(config, params, make_test_vocab(), slots=2, buckets=(16, 32, 64))
+    srv = JobServer(
+        engine,
+        ServerConfig(host="127.0.0.1", port=0, max_pods=2),
+        GenerateConfig(max_tokens=8, ctx_size=64, temp=0.0),
+        model_name="tiny-test",
+    )
+    srv.start_background()
+    yield srv
+    srv.shutdown()
+
+
+def req(server, method, path, body=None):
+    url = f"http://127.0.0.1:{server.port}{path}"
+    data = json.dumps(body).encode() if body is not None else None
+    r = urllib.request.Request(url, data=data, method=method)
+    try:
+        with urllib.request.urlopen(r, timeout=30) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
+
+
+def test_job_lifecycle(server):
+    jid = str(uuid.uuid4())
+    code, body = req(server, "POST", "/jobs/", {"id": jid, "prompt": "hello world"})
+    assert code == 200
+    assert body["id"] == jid
+    assert body["status"] == "queued"
+    assert body["prompt"] == "hello world"
+    assert isinstance(body["created"], int)
+
+    deadline = time.time() + 60
+    status = None
+    while time.time() < deadline:
+        code, st = req(server, "GET", f"/jobs/status/{jid}")
+        assert code == 200
+        status = st["status"]
+        if status == "finished":
+            break
+        time.sleep(0.1)
+    assert status == "finished"
+
+    code, job = req(server, "GET", f"/jobs/{jid}")
+    assert code == 200
+    assert set(job) >= {"id", "prompt", "output", "created", "started",
+                        "finished", "model", "status"}
+    assert job["model"] == "tiny-test"
+    assert job["finished"] >= job["started"] >= job["created"]
+
+
+def test_bad_uuid_rejected(server):
+    code, body = req(server, "POST", "/jobs/", {"id": "not-a-uuid", "prompt": "x"})
+    assert code == 400
+    assert "UUID" in body
+    code, _ = req(server, "GET", "/jobs/status/not-a-uuid")
+    assert code == 400
+    code, _ = req(server, "GET", "/jobs/not-a-uuid")
+    assert code == 400
+
+
+def test_duplicate_id_rejected(server):
+    jid = str(uuid.uuid4())
+    code, _ = req(server, "POST", "/jobs/", {"id": jid, "prompt": "a"})
+    assert code == 200
+    code, body = req(server, "POST", "/jobs/", {"id": jid, "prompt": "a"})
+    assert code == 400
+    assert "Duplicated" in body
+
+
+def test_unknown_id_404ish(server):
+    code, body = req(server, "GET", f"/jobs/{uuid.uuid4()}")
+    assert code == 400
+    assert "not found" in body.lower()
+
+
+def test_prompt_too_long_rejected(server):
+    code, body = req(
+        server, "POST", "/jobs/", {"id": str(uuid.uuid4()), "prompt": "x" * 5000}
+    )
+    assert code == 400
+    assert "more than allowed" in body
+
+
+def test_malformed_json(server):
+    url = f"http://127.0.0.1:{server.port}/jobs/"
+    r = urllib.request.Request(url, data=b"{invalid", method="POST")
+    try:
+        with urllib.request.urlopen(r, timeout=10) as resp:
+            code = resp.status
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 400
+
+
+def test_health(server):
+    code, body = req(server, "GET", "/health")
+    assert code == 200
+    assert body["slots"] == 2
+
+
+def test_concurrent_jobs(server):
+    ids = [str(uuid.uuid4()) for _ in range(4)]
+    for jid in ids:
+        code, _ = req(server, "POST", "/jobs/", {"id": jid, "prompt": "hello"})
+        assert code == 200
+    deadline = time.time() + 120
+    done = set()
+    while time.time() < deadline and len(done) < len(ids):
+        for jid in ids:
+            _, st = req(server, "GET", f"/jobs/status/{jid}")
+            if st["status"] == "finished":
+                done.add(jid)
+        time.sleep(0.1)
+    assert len(done) == len(ids)
