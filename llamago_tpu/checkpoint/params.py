@@ -98,6 +98,25 @@ def _place(config: ModelConfig, host: Params, shardings: Params | None) -> Param
     return jax.tree.map(put, host, shardings)
 
 
+def unstack_layer_params(params: Params, n_layers: int) -> Params:
+    """Convert stacked layer weights [L, ...] into a tuple of per-layer
+    pytrees (one-time slicing cost at load). The unrolled forward path
+    (models/llama.py) uses this so Pallas kernels read each layer's
+    quantized weights straight from HBM instead of through a per-step
+    scan slice."""
+    layers = params["layers"]
+
+    def leaf_at(v, i):
+        if isinstance(v, dict):
+            return {k: a[i] for k, a in v.items()}
+        return v[i]
+
+    per_layer = tuple(
+        {k: leaf_at(v, i) for k, v in layers.items()} for i in range(n_layers)
+    )
+    return {**params, "layers": per_layer}
+
+
 def random_parameters(
     config: ModelConfig,
     seed: int = 0,
@@ -133,28 +152,45 @@ def random_parameters(
         },
     }
 
+    quant_bits = {"int8": 8, "int4": 4}.get(config.weight_dtype)
+    if quant_bits is not None:
+        from llamago_tpu.ops.quant import QUANT_LEAVES, quantize
+
     leaves, treedef = jax.tree.flatten(shapes, is_leaf=lambda x: isinstance(x, tuple))
+    paths = [
+        "/".join(str(k.key) for k in path)
+        for path, _ in jax.tree.flatten_with_path(
+            shapes, is_leaf=lambda x: isinstance(x, tuple)
+        )[0]
+    ]
     keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("shape",))
     def make(key, shape):
-        if len(shape) == 1 or shape[-1] == 0:
+        if len(shape) == 1:
             return jnp.ones(shape, dtype)  # norm gains
         return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
 
-    params = treedef.unflatten(
-        [make(k, s) for k, s in zip(keys, leaves)]
-    )
-    if config.weight_dtype in ("int8", "int4"):
-        # quantize_params accepts device arrays: quantization runs jitted
-        # on device, so bench-sized random models never touch the host.
-        from llamago_tpu.ops.quant import quantize_params
-
-        return quantize_params(config, params, shardings)
+    # Leaf-at-a-time generation (+ immediate quantization) keeps peak HBM at
+    # one dense leaf above the final footprint — bench-sized (7B+) models
+    # are created entirely on device without a 2x dense transient.
+    out_leaves = []
+    for key, shape, path in zip(keys, leaves, paths):
+        leaf = make(key, shape)
+        name = path.rsplit("/", 1)[-1]
+        if quant_bits is not None and name in QUANT_LEAVES:
+            leaf = quantize(leaf, quant_bits)
+        out_leaves.append(leaf)
+    params = treedef.unflatten(out_leaves)
     if shardings is not None:
-        params = jax.tree.map(
-            lambda a, s: jax.device_put(a, s) if s is not None else a,
-            params,
-            shardings,
-        )
+        from llamago_tpu.ops.quant import _shard_quantized, is_quantized
+
+        def place(p, s):
+            if is_quantized(p):
+                return _shard_quantized(p, s)
+            return jax.device_put(p, s) if s is not None else p
+
+        params = jax.tree.map(place, params, shardings, is_leaf=is_quantized)
     return params

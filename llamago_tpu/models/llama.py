@@ -105,9 +105,7 @@ def forward_impl(
     # Embedding lookup (reference: GetRows, llama.go:244).
     x = params["tok_embeddings"][tokens].astype(dtype)  # [B, T, D]
 
-    def block(x, layer):
-        lp, k_layer, v_layer = layer
-
+    def block(x, lp, k_layer, v_layer):
         # --- attention (reference: llama.go:250-345)
         h = rms_norm(x, lp["attention_norm"], config.norm_eps)
         q = linear(h, lp["wq"]).reshape(b, t, config.n_heads, config.head_dim)
@@ -126,9 +124,35 @@ def forward_impl(
         # --- FFN (reference: llama.go:340-369)
         h = rms_norm(x, lp["ffn_norm"], config.norm_eps)
         x = x + swiglu(h, lp["w1"], lp["w2"], lp["w3"])
-        return x, (k_layer, v_layer)
+        return x, k_layer, v_layer
 
-    x, (k_new, v_new) = jax.lax.scan(block, x, (params["layers"], cache.k, cache.v))
+    layers = params["layers"]
+    if isinstance(layers, (list, tuple)):
+        # Unrolled path: per-layer weight pytrees feed Pallas kernels
+        # directly from HBM with no per-step layer-slice materialization
+        # (a lax.scan over stacked weights must copy each layer's slice
+        # before a custom call can read it). Compile time scales with
+        # n_layers; used for the production decode path on TPU.
+        if cache.layered:
+            k_new_l, v_new_l = [], []
+            for lp, k_l, v_l in zip(layers, cache.k, cache.v):
+                x, k_l, v_l = block(x, lp, k_l, v_l)
+                k_new_l.append(k_l)
+                v_new_l.append(v_l)
+            k_new, v_new = tuple(k_new_l), tuple(v_new_l)
+        else:
+            k_new, v_new = cache.k, cache.v
+            for il, lp in enumerate(layers):
+                x, k_l, v_l = block(x, lp, k_new[il], v_new[il])
+                k_new = k_new.at[il].set(k_l)
+                v_new = v_new.at[il].set(v_l)
+    else:
+        def scan_block(x, layer):
+            lp, k_layer, v_layer = layer
+            x, k_layer, v_layer = block(x, lp, k_layer, v_layer)
+            return x, (k_layer, v_layer)
+
+        x, (k_new, v_new) = jax.lax.scan(scan_block, x, (layers, cache.k, cache.v))
 
     # --- final norm + lm head (reference: llama.go:374-384)
     x = rms_norm(x, params["norm"], config.norm_eps)

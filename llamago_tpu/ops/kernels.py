@@ -1,0 +1,132 @@
+"""Pallas TPU kernels — the hand-optimized hot path.
+
+This layer plays the role of the reference's assembly kernels: where
+llama.go's entire native surface is one AVX2/NEON FP32 dot product called
+from inside MulMat (reference: pkg/ml/floats_avx.{go,s}, call site
+ml.go:2033,2075), the TPU equivalents are fused kernels that keep the
+MXU fed straight from HBM:
+
+  * dequant_matmul — INT8/INT4 block-dequantization fused into the
+    matmul: weights stream HBM->VMEM as 1 or 0.5 bytes/element and are
+    expanded to bf16 in VMEM, so the kernel runs at the weight-bandwidth
+    roofline (the BASELINE.md >=90% target). The jnp fallback would
+    round-trip a dequantized bf16 copy through HBM — 3x the traffic.
+
+Kernels run under `interpret=True` off-TPU so the same code is unit-
+tested on the CPU mesh (tests/test_kernels.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+QK = 32  # quantization block size along the contraction dim
+
+# Flipped by tests to exercise kernels off-TPU; auto-detected otherwise.
+FORCE_INTERPRET = False
+DISABLE_FUSED = False
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _interpret() -> bool:
+    return FORCE_INTERPRET or not _on_tpu()
+
+
+def _pick_tile(dim: int, candidates: tuple[int, ...]) -> int | None:
+    for c in candidates:
+        if dim % c == 0:
+            return c
+    return None
+
+
+def can_fuse(x: jnp.ndarray, w: dict) -> bool:
+    """The fused kernel handles this (x, w) pair."""
+    if DISABLE_FUSED:
+        return False
+    if not (_on_tpu() or FORCE_INTERPRET):
+        return False
+    k = x.shape[-1]
+    n = w["s"].shape[-1]
+    if w["s"].ndim != 2:  # layer-stacked weights arrive pre-sliced by scan
+        return False
+    return (
+        _pick_tile(k, (1024, 512, 256, 128, 64, 32)) is not None
+        and _pick_tile(n, (512, 256, 128)) is not None
+    )
+
+
+def _dequant_mm_kernel(x_ref, q_ref, s_ref, o_ref, *, bits: int, tk: int, tn: int):
+    """One (n, k) grid step: o[TM, TN] += x[TM, TK] @ dequant(q[TK, TN])."""
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    blocks = tk // QK
+    s = s_ref[:].astype(jnp.float32)  # [blocks, TN]
+    if bits == 8:
+        q = q_ref[:].astype(jnp.float32).reshape(blocks, QK, tn)
+    else:
+        p = q_ref[:].reshape(blocks, QK // 2, tn)
+        lo = (p & 0xF).astype(jnp.int8) - 8
+        hi = ((p >> 4) & 0xF).astype(jnp.int8) - 8
+        q = jnp.concatenate([lo, hi], axis=1).astype(jnp.float32)
+    w = (q * s[:, None, :]).reshape(tk, tn).astype(jnp.bfloat16)
+    o_ref[:] += jnp.dot(
+        x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("bits",))
+def _dequant_matmul_2d(x: jnp.ndarray, q: jnp.ndarray, s: jnp.ndarray, bits: int):
+    m, k = x.shape
+    n = s.shape[-1]
+    tk = _pick_tile(k, (1024, 512, 256, 128, 64, 32))
+    tn = _pick_tile(n, (512, 256, 128))
+    tm = max(8, m)
+    if m < tm:
+        x = jnp.pad(x, ((0, tm - m), (0, 0)))
+    qrows = tk if bits == 8 else tk // 2
+
+    grid = (n // tn, k // tk)
+    out = pl.pallas_call(
+        functools.partial(_dequant_mm_kernel, bits=bits, tk=tk, tn=tn),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tk), lambda ni, ki: (0, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qrows, tn), lambda ni, ki: (ki, ni), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tk // QK, tn), lambda ni, ki: (ki, ni), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda ni, ki: (0, ni), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tm, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * tm * k * n,
+            bytes_accessed=(k * n if bits == 8 else k * n // 2) + tm * k * 2 + tm * n * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(x, q, s)
+    return out[:m]
+
+
+def dequant_matmul(x: jnp.ndarray, w: dict) -> jnp.ndarray:
+    """x [..., K] @ blockwise-quantized w {q8|q4, s} -> [..., N]."""
+    bits = 8 if "q8" in w else 4
+    q = w["q8"] if bits == 8 else w["q4"]
+    *lead, k = x.shape
+    m = 1
+    for d in lead:
+        m *= d
+    out = _dequant_matmul_2d(x.reshape(m, k), q, w["s"], bits)
+    return out.reshape(*lead, w["s"].shape[-1]).astype(x.dtype)

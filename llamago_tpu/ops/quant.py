@@ -1,0 +1,188 @@
+"""Weight-only block quantization: Q8_0 and Q4_0 (block size 32).
+
+The reference DEFINES these dtypes (reference: pkg/ml/ml.go:89-94 with
+BLCK_SIZE/TYPE_SIZE tables ml.go:123-124, QK=32 ml.go:24) but never
+implements compute for them — its Makefile `quantize` target shells out
+to llama.cpp (Makefile:132-133) and its loader rejects quantized tensors
+(llama.go:956-958). Quantization is the reference's own unchecked roadmap
+(README.md:45,64) and a BASELINE.md requirement here.
+
+Formats (ggml-compatible semantics, TPU-friendly layout):
+  Q8_0: per 32-block scale d = absmax/127, q = round(x/d) in int8.
+  Q4_0: per 32-block scale d = signed_absmax/-8, q = round(x/d)+8 in
+        [0,15], two nibbles packed per int8 byte along the input dim.
+
+Layout: weights live [in, out] (see checkpoint/params.py); blocks run
+along the INPUT (contraction) dim:
+  q: int8 [in, out] (Q8_0) or packed int8 [in/2, out] (Q4_0)
+  s: f32 [in/32, out]
+
+`quant_matmul` is the jnp/XLA reference path (dequantize then dot);
+ops/kernels.py provides the fused Pallas dequant-matmul that reads int8/
+int4 straight from HBM at roofline — the `linear()` seam in ops/basic.py
+picks the kernel when available.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llamago_tpu.config import ModelConfig
+
+QK = 32  # block size (reference: pkg/ml/ml.go:24)
+
+# parameter leaves that get quantized (matmul weights only; embeddings and
+# norms stay in the compute dtype, standard weight-only practice)
+QUANT_LEAVES = {"wq", "wk", "wv", "wo", "w1", "w2", "w3", "output"}
+
+
+def is_quantized(w) -> bool:
+    return isinstance(w, dict) and "s" in w and ("q8" in w or "q4" in w)
+
+
+@partial(jax.jit, static_argnames=("bits",))
+def quantize(w: jnp.ndarray, bits: int = 8) -> dict:
+    """Block-quantize a weight [..., in, out] along the `in` dim."""
+    *lead, k, n = w.shape
+    blocks = k // QK
+    assert k % QK == 0, f"in-dim {k} not divisible by block size {QK}"
+    xb = w.astype(jnp.float32).reshape(*lead, blocks, QK, n)
+    if bits == 8:
+        absmax = jnp.max(jnp.abs(xb), axis=-2)  # [..., blocks, n]
+        d = absmax / 127.0
+        inv = jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 0.0)
+        q = jnp.clip(jnp.round(xb * inv[..., None, :]), -127, 127).astype(jnp.int8)
+        return {"q8": q.reshape(*lead, k, n), "s": d}
+    if bits == 4:
+        # ggml Q4_0 sign trick: scale by the SIGNED extreme / -8
+        idx = jnp.argmax(jnp.abs(xb), axis=-2, keepdims=True)
+        signed_max = jnp.take_along_axis(xb, idx, axis=-2)[..., 0, :]
+        d = signed_max / -8.0
+        inv = jnp.where(d != 0, 1.0 / jnp.where(d != 0, d, 1.0), 0.0)
+        q = jnp.clip(jnp.round(xb * inv[..., None, :]) + 8, 0, 15).astype(jnp.uint8)
+        # Block-local packing: within each 32-row block, byte j holds rows
+        # j (lo nibble) and j+16 (hi nibble) — unpacking is two contiguous
+        # halves + concat, no element interleave (TPU-layout friendly).
+        lo, hi = q[..., :16, :], q[..., 16:, :]  # [..., blocks, 16, n]
+        packed = (lo | (hi << 4)).astype(jnp.uint8)
+        return {"q4": packed.reshape(*lead, k // 2, n), "s": d}
+    raise ValueError(f"unsupported bits: {bits}")
+
+
+def unpack_q4(packed: jnp.ndarray) -> jnp.ndarray:
+    """Packed [..., in/2, out] uint8 -> centered int [..., in, out]."""
+    *lead, half, n = packed.shape
+    blocks = half // (QK // 2)
+    pb = packed.reshape(*lead, blocks, QK // 2, n)
+    lo = (pb & 0xF).astype(jnp.int8) - 8
+    hi = ((pb >> 4) & 0xF).astype(jnp.int8) - 8
+    full = jnp.concatenate([lo, hi], axis=-2)  # [..., blocks, 32, n]
+    return full.reshape(*lead, half * 2, n)
+
+
+def dequantize(w: dict, dtype=jnp.float32) -> jnp.ndarray:
+    """Reference dequantization (tests / fallback path)."""
+    if "q8" in w:
+        q = w["q8"].astype(jnp.float32)
+    else:
+        q = unpack_q4(w["q4"]).astype(jnp.float32)
+    *lead, k, n = q.shape
+    scales = jnp.repeat(w["s"].astype(jnp.float32), QK, axis=-2)
+    return (q * scales).astype(dtype)
+
+
+def quant_matmul(x: jnp.ndarray, w: dict) -> jnp.ndarray:
+    """x [..., in] @ quantized w -> [..., out].
+
+    jnp/XLA path: dequantize blocks then MXU dot. The fused Pallas kernel
+    (ops/kernels.py) replaces this on TPU when shapes allow.
+    """
+    from llamago_tpu.ops import kernels
+
+    if kernels.can_fuse(x, w):
+        return kernels.dequant_matmul(x, w)
+    deq = dequantize(w, dtype=x.dtype)
+    return jnp.dot(x, deq, preferred_element_type=x.dtype)
+
+
+def _quant_bits(config: ModelConfig) -> int:
+    return 4 if config.weight_dtype == "int4" else 8
+
+
+def quantize_params(config: ModelConfig, params, shardings=None):
+    """Quantize matmul leaves of a (host or device) parameter pytree.
+
+    Runs jitted on device when given device arrays — bench-sized random
+    models never touch host memory.
+    """
+    bits = _quant_bits(config)
+    dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.dtype(config.dtype)
+
+    def put(leaf, shard):
+        arr = jnp.asarray(leaf)
+        if shard is not None:
+            arr = jax.device_put(arr, shard)
+        return arr
+
+    def shard_of(tree, key):
+        return None if shardings is None else tree[key]
+
+    out = {"layers": {}}
+    for key in ("tok_embeddings", "norm", "output"):
+        leaf = jnp.asarray(params[key], dtype)
+        if key in QUANT_LEAVES:
+            q = quantize(leaf, bits)
+            out[key] = _shard_quantized(q, shard_of(shardings, key))
+        else:
+            out[key] = put(leaf, shard_of(shardings, key))
+    lsh = None if shardings is None else shardings["layers"]
+    for key, leaf in params["layers"].items():
+        leaf = jnp.asarray(leaf, dtype)
+        sh = None if lsh is None else lsh[key]
+        if key in QUANT_LEAVES:
+            out["layers"][key] = _shard_quantized(quantize(leaf, bits), sh)
+        else:
+            out["layers"][key] = put(leaf, sh)
+    return out
+
+
+def _shard_quantized(q: dict, sharding):
+    if sharding is None:
+        return q
+    out = {}
+    for k, arr in q.items():
+        spec = sharding.spec
+        ok = True
+        for dim, names in zip(arr.shape, tuple(spec) + (None,) * arr.ndim):
+            if names is None:
+                continue
+            size = sharding.mesh.shape[names] if isinstance(names, str) else 1
+            if dim % size != 0:
+                ok = False
+        if ok:
+            out[k] = jax.device_put(arr, sharding)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            out[k] = jax.device_put(arr, NamedSharding(sharding.mesh, PartitionSpec()))
+    return out
+
+
+def quantize_ggjt_tensors(
+    tensors: dict[str, np.ndarray], bits: int = 8
+) -> dict[str, dict | np.ndarray]:
+    """Host-side quantization of raw checkpoint tensors (converter path)."""
+    out: dict[str, dict | np.ndarray] = {}
+    for name, arr in tensors.items():
+        leafkey = name.split(".")[-2] if "." in name else name
+        is_mat = arr.ndim == 2 and any(k in name for k in QUANT_LEAVES)
+        if is_mat:
+            q = quantize(jnp.asarray(np.asarray(arr, np.float32).T), bits)
+            out[name] = jax.tree.map(np.asarray, q)
+        else:
+            out[name] = np.asarray(arr)
+    return out

@@ -102,8 +102,7 @@ def push_tokens(
     return state
 
 
-@partial(jax.jit, static_argnames=("max_top_k", "return_probs"))
-def sample(
+def sample_impl(
     rng_key: jax.Array,  # single key, or stacked per-slot keys [B, ...]
     logits: jax.Array,  # [B, V] float32
     state: SamplerState,
@@ -161,3 +160,6 @@ def sample(
     if return_probs:
         return tokens, (probs, idx)
     return tokens
+
+
+sample = partial(jax.jit, static_argnames=("max_top_k", "return_probs"))(sample_impl)

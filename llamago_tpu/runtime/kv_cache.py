@@ -26,16 +26,25 @@ from llamago_tpu.config import ModelConfig
 @jax.tree_util.register_dataclass
 @dataclass
 class KVCache:
-    k: jax.Array  # [L, B, S, KV, hd]
-    v: jax.Array  # [L, B, S, KV, hd]
+    # Either one stacked array [L, B, S, KV, hd] (scan-over-layers path)
+    # or a tuple of L arrays [B, S, KV, hd] (unrolled path — separate
+    # buffers let XLA alias each layer's update in place inside a scan
+    # carry; a stacked carry updated with .at[l].set() copies the whole
+    # cache every layer).
+    k: jax.Array | tuple
+    v: jax.Array | tuple
+
+    @property
+    def layered(self) -> bool:
+        return isinstance(self.k, tuple)
 
     @property
     def batch(self) -> int:
-        return self.k.shape[1]
+        return (self.k[0] if self.layered else self.k).shape[-4]
 
     @property
     def max_seq(self) -> int:
-        return self.k.shape[2]
+        return (self.k[0] if self.layered else self.k).shape[-3]
 
     @staticmethod
     def create(
@@ -44,6 +53,7 @@ class KVCache:
         max_seq: int | None = None,
         dtype=None,
         sharding=None,
+        layered: bool = False,
     ) -> "KVCache":
         shape = (
             config.n_layers,
@@ -53,9 +63,22 @@ class KVCache:
             config.head_dim,
         )
         dtype = dtype or jnp.dtype(config.dtype)
-        k = jnp.zeros(shape, dtype)
-        v = jnp.zeros(shape, dtype)
-        if sharding is not None:
-            k = jax.device_put(k, sharding)
-            v = jax.device_put(v, sharding)
-        return KVCache(k=k, v=v)
+
+        def mk():
+            if layered:
+                arrs = tuple(jnp.zeros(shape[1:], dtype) for _ in range(shape[0]))
+                if sharding is not None:
+                    layer_shard = _drop_layer_axis(sharding)
+                    arrs = tuple(jax.device_put(a, layer_shard) for a in arrs)
+                return arrs
+            a = jnp.zeros(shape, dtype)
+            return jax.device_put(a, sharding) if sharding is not None else a
+
+        return KVCache(k=mk(), v=mk())
+
+
+def _drop_layer_axis(sharding):
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    spec = sharding.spec
+    return NamedSharding(sharding.mesh, PartitionSpec(*tuple(spec)[1:]))

@@ -1,0 +1,142 @@
+"""Quantization tests: Q8_0/Q4_0 roundtrip accuracy, packing, fused
+Pallas kernel parity (interpret mode), quantized end-to-end decode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llamago_tpu.ops import kernels
+from llamago_tpu.ops.quant import (
+    QK,
+    dequantize,
+    is_quantized,
+    quant_matmul,
+    quantize,
+    quantize_params,
+    unpack_q4,
+)
+
+
+def rnd(shape, seed=0, scale=1.0):
+    return (np.random.default_rng(seed).standard_normal(shape) * scale).astype(
+        np.float32
+    )
+
+
+def test_q8_roundtrip_error():
+    w = jnp.asarray(rnd((256, 64)))
+    q = quantize(w, bits=8)
+    assert is_quantized(q)
+    assert q["q8"].dtype == jnp.int8 and q["q8"].shape == (256, 64)
+    assert q["s"].shape == (256 // QK, 64)
+    deq = dequantize(q)
+    # Q8_0: worst-case error is d/2 = absmax/254 per element
+    err = np.abs(np.asarray(deq) - np.asarray(w))
+    bound = np.abs(np.asarray(w)).reshape(8, QK, 64).max(axis=1) / 254.0
+    assert (err.reshape(8, QK, 64) <= bound[:, None, :] + 1e-6).all()
+
+
+def test_q4_roundtrip_error():
+    w = jnp.asarray(rnd((256, 64), seed=1))
+    q = quantize(w, bits=4)
+    assert q["q4"].dtype == jnp.uint8 and q["q4"].shape == (128, 64)
+    deq = dequantize(q)
+    err = np.abs(np.asarray(deq) - np.asarray(w))
+    bound = np.abs(np.asarray(w)).reshape(8, QK, 64).max(axis=1) / 8.0
+    assert (err.reshape(8, QK, 64) <= bound[:, None, :] + 1e-6).all()
+
+
+def test_q4_pack_unpack_exact():
+    w = jnp.asarray(rnd((64, 32), seed=2))
+    q = quantize(w, bits=4)
+    unpacked = np.asarray(unpack_q4(q["q4"]))
+    assert unpacked.min() >= -8 and unpacked.max() <= 7
+    # dequant of unpack matches direct dequantize
+    scales = np.repeat(np.asarray(q["s"]), QK, axis=0)
+    np.testing.assert_allclose(unpacked * scales, np.asarray(dequantize(q)), rtol=1e-6)
+
+
+def test_layer_stacked_quantize():
+    w = jnp.asarray(rnd((3, 64, 32), seed=3))
+    q = quantize(w, bits=8)
+    assert q["q8"].shape == (3, 64, 32)
+    assert q["s"].shape == (3, 2, 32)
+    np.testing.assert_allclose(
+        np.asarray(dequantize(q)[1]),
+        np.asarray(dequantize({"q8": q["q8"][1], "s": q["s"][1]})),
+    )
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_fused_kernel_matches_reference(bits):
+    """Pallas dequant-matmul (interpret mode on CPU) == dequantize+dot."""
+    k, n, m = 128, 256, 3
+    w = jnp.asarray(rnd((k, n), seed=4, scale=0.1))
+    x = jnp.asarray(rnd((m, k), seed=5))
+    q = quantize(w, bits=bits)
+    ref = jnp.dot(x, dequantize(q))
+    kernels.FORCE_INTERPRET = True
+    try:
+        assert kernels.can_fuse(x, q)
+        got = kernels.dequant_matmul(x, q)
+    finally:
+        kernels.FORCE_INTERPRET = False
+    # kernel computes in bf16 on the MXU: tolerance ~1e-2 relative
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+def test_fused_kernel_3d_input():
+    k, n = 64, 128
+    w = jnp.asarray(rnd((k, n), seed=6, scale=0.1))
+    x = jnp.asarray(rnd((2, 3, k), seed=7))
+    q = quantize(w, bits=8)
+    kernels.FORCE_INTERPRET = True
+    try:
+        got = kernels.dequant_matmul(x, q)
+    finally:
+        kernels.FORCE_INTERPRET = False
+    ref = jnp.einsum("btk,kn->btn", x, dequantize(q))
+    assert got.shape == (2, 3, n)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+def test_quant_matmul_jnp_fallback():
+    # can_fuse is False on CPU without FORCE_INTERPRET -> jnp path
+    w = jnp.asarray(rnd((96, 48), seed=8))  # 96 % 32 == 0 but 48 has no tile
+    q = quantize(w, bits=8)
+    x = jnp.asarray(rnd((2, 96), seed=9))
+    out = quant_matmul(x, q)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(jnp.dot(x, dequantize(q))), rtol=1e-5
+    )
+
+
+def test_quantized_params_end_to_end_decode(tiny_config):
+    """int8 weights through the full forward: close to f32 logits."""
+    from llamago_tpu.checkpoint.params import host_parameters
+    from llamago_tpu.models.llama import forward
+    from llamago_tpu.runtime.kv_cache import KVCache
+
+    from conftest import random_ggjt_tensors
+
+    config32 = tiny_config.replace(dtype="float32", weight_dtype="float32")
+    tensors = random_ggjt_tensors(config32, seed=10)
+    host = host_parameters(config32, tensors)
+    params32 = jax.tree.map(lambda a: jnp.asarray(np.asarray(a, np.float32)), host)
+
+    config8 = tiny_config.replace(dtype="float32", weight_dtype="int8")
+    params8 = quantize_params(config8, host)
+    assert is_quantized(params8["layers"]["wq"])
+    assert is_quantized(params8["output"])
+    assert not is_quantized(params8["tok_embeddings"])
+
+    tokens = jnp.array([[1, 5, 42, 300]], jnp.int32)
+    pos = jnp.zeros(1, jnp.int32)
+    ref, _ = forward(params32, tokens, KVCache.create(config32, batch=1, dtype=jnp.float32), pos, config32)
+    got, _ = forward(params8, tokens, KVCache.create(config8, batch=1, dtype=jnp.float32), pos, config8)
+    # int8 weight quantization noise; logits must stay well correlated
+    r = np.asarray(ref[0])
+    g = np.asarray(got[0])
+    assert np.corrcoef(r, g)[0, 1] > 0.999
+    assert np.argmax(r) == np.argmax(g)
