@@ -38,7 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
         prog="llamago-tpu", description="TPU-native LLaMA inference framework"
     )
     p.add_argument("command", nargs="?", default=None,
-                   help="optional subcommand: load | convert")
+                   help="optional subcommand: load | convert | perplexity")
+    p.add_argument("--file", default="", help="text file for `perplexity`")
     # --- reference flag parity (main.go:24-41)
     p.add_argument("--prompt", default="", help="text prompt to feed the model")
     p.add_argument("--model", default="", help="path of converted .bin ggjt model")
@@ -75,6 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="weight storage [default: same as --dtype]")
     p.add_argument("--tp", type=int, default=0,
                    help="tensor-parallel size [0 = all local devices]")
+    p.add_argument("--chunk", type=int, default=0,
+                   help="on-device decode chunk size (tokens per host sync) "
+                        "[0 = auto: 16 on TPU, 1 elsewhere]")
     return p
 
 
@@ -88,6 +92,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_load(args)
     if args.command == "convert":
         return cmd_convert(args)
+    if args.command == "perplexity":
+        return cmd_perplexity(args)
     if args.command is not None:
         print(f"unknown command: {args.command}", file=sys.stderr)
         return 2
@@ -145,7 +151,9 @@ def _load_engine(args):
         print(f"[INIT] model ready in {time.time() - t0:.1f}s "
               f"({config.n_layers} layers, dim {config.dim}, "
               f"{config.weight_dtype} weights, tp={tp})")
-    engine = Engine(config, params, ckpt.vocab, slots=args.pods)
+    chunk = args.chunk or (16 if jax.default_backend() == "tpu" else 1)
+    engine = Engine(config, params, ckpt.vocab, slots=args.pods,
+                    decode_chunk_size=chunk)
     return engine, ckpt, config
 
 
@@ -279,6 +287,26 @@ def cmd_load(args) -> int:
         print("[ERROR] downloaded file is suspiciously small", file=sys.stderr)
         return 1
     print(f"[LOAD] model of size {size / 2**30:.2f} GiB downloaded")
+    return 0
+
+
+def cmd_perplexity(args) -> int:
+    """Perplexity over a text file (BASELINE.md quality metric)."""
+    if not args.model or not args.file:
+        print("error: perplexity needs --model and --file", file=sys.stderr)
+        return 2
+    engine, ckpt, config = _load_engine(args)
+    with open(args.file, encoding="utf-8") as f:
+        text = f.read()
+    from llamago_tpu.eval import perplexity
+    from llamago_tpu.tokenizer import tokenize
+
+    ids = tokenize(ckpt.vocab, " " + text, bos=True)
+    ctx = min(args.context, 512)
+    result = perplexity(engine.params, config, ids, ctx=ctx)
+    print(f"[PPL] perplexity {result['ppl']:.4f} | nll {result['nll']:.4f} | "
+          f"{result['n_tokens']} tokens in {result['n_windows']} windows "
+          f"(ctx {ctx}, {config.weight_dtype} weights)")
     return 0
 
 

@@ -29,7 +29,7 @@ from llamago_tpu.runtime.kv_cache import KVCache
 
 @partial(
     jax.jit,
-    static_argnames=("config", "n_steps", "greedy"),
+    static_argnames=("config", "n_steps", "greedy", "return_final_logits"),
     donate_argnames=("cache", "state"),
 )
 def decode_chunk(
@@ -46,11 +46,15 @@ def decode_chunk(
     top_p: jnp.ndarray | None = None,
     repeat_penalty: jnp.ndarray | None = None,
     greedy: bool = True,
+    return_final_logits: bool = False,
 ):
     """Run n_steps decode iterations on device.
 
-    Returns (tokens [B, n_steps], cache, positions, state, rngs): the
-    sampled tokens for each step and the advanced carries.
+    Returns (tokens [B, n_steps], cache, positions, state, rngs[, logits]):
+    the sampled tokens and the advanced carries. With return_final_logits,
+    the LAST sampled token is also fed through one more forward so the
+    returned logits correspond to the full emitted history (the engine's
+    pending-logits invariant).
     """
 
     def body(carry, _):
@@ -79,4 +83,7 @@ def decode_chunk(
         None,
         length=n_steps,
     )
+    if return_final_logits:
+        logits, cache = forward_impl(params, tok[:, None], cache, pos, config)
+        return toks.T, cache, pos + 1, state, rngs, logits
     return toks.T, cache, pos, state, rngs

@@ -100,6 +100,7 @@ class Engine:
         slots: int = 1,
         buckets: tuple[int, ...] = DEFAULT_BUCKETS,
         stream: bool = True,
+        decode_chunk_size: int = 1,
     ):
         self.config = config
         self.params = params
@@ -116,6 +117,10 @@ class Engine:
         self.rngs = jax.vmap(jax.random.PRNGKey)(jnp.arange(slots))  # [S] keys
         self.slots = [_Slot() for _ in range(slots)]
         self.stream = stream
+        # >1 enables the on-device multi-token fast path (one host sync per
+        # chunk instead of per token — see runtime/decode_loop.py); output
+        # streams at chunk granularity.
+        self.decode_chunk_size = decode_chunk_size
         self._queue: list[Job] = []
         self._lock = threading.Lock()
         self._stop = threading.Event()
@@ -292,10 +297,15 @@ class Engine:
         if not active.any():
             return True
 
-        # --- context swap where needed, then one batched decode step
+        # --- context swap where needed, then decode
         for i in range(self.n_slots):
             if active[i]:
                 self._maybe_context_swap(i)
+
+        n_chunk = self._chunkable(active)
+        if n_chunk > 1:
+            self._decode_chunked(active, n_chunk, temp, top_k, top_p, rp)
+            return True
 
         feed = np.zeros((self.n_slots, 1), np.int32)
         pos = np.zeros(self.n_slots, np.int32)
@@ -313,6 +323,83 @@ class Engine:
                 slot.job.eval_ms.append(eval_dt)
                 slot.pos += 1
         return True
+
+    # ----------------------------------------------------- chunked decode
+
+    def _chunkable(self, active: np.ndarray) -> int:
+        """Largest on-device chunk every active slot can absorb: bounded by
+        remaining budget and context headroom (a swap may not occur
+        mid-chunk), and pending queue (admissions shouldn't wait a chunk)."""
+        if self.decode_chunk_size <= 1:
+            return 1
+        with self._lock:
+            if self._queue:
+                return 1
+        allowed = self.decode_chunk_size
+        for i, slot in enumerate(self.slots):
+            if not active[i] or slot.job is None:
+                continue
+            ctx = min(slot.job.gen.ctx_size, self.config.max_seq_len)
+            # chunk emits n tokens and feeds n+1 positions (incl. final
+            # forward restoring the pending-logits invariant)
+            allowed = min(allowed, slot.remaining, ctx - slot.pos - 2)
+        # halve down to a power-of-two ladder: each distinct n_steps is a
+        # separate XLA compilation, so keep the set small
+        n = self.decode_chunk_size
+        while n > max(allowed, 1):
+            n //= 2
+        return max(n, 1)
+
+    def _decode_chunked(self, active, n_chunk, temp, top_k, top_p, rp) -> None:
+        feed = np.zeros(self.n_slots, np.int32)
+        pos = np.zeros(self.n_slots, np.int32)
+        for i, slot in enumerate(self.slots):
+            if active[i]:
+                feed[i] = slot.history[-1]
+                pos[i] = slot.pos
+        from llamago_tpu.runtime.decode_loop import decode_chunk
+
+        t0 = time.time()
+        toks_dev, self.cache, _, self.sampler_state, self.rngs, self.logits = (
+            decode_chunk(
+                self.params,
+                jnp.asarray(feed),
+                self.cache,
+                jnp.asarray(pos),
+                self.config,
+                n_chunk,
+                rngs=self.rngs,
+                state=self.sampler_state,
+                temp=jnp.asarray(temp),
+                top_k=jnp.asarray(top_k),
+                top_p=jnp.asarray(top_p),
+                repeat_penalty=jnp.asarray(rp),
+                greedy=False,
+                return_final_logits=True,
+            )
+        )
+        toks = np.asarray(toks_dev)  # host sync, one per chunk
+        dt_per_tok = (time.time() - t0) * 1000.0 / n_chunk
+        for i, slot in enumerate(self.slots):
+            if not active[i] or slot.job is None:
+                continue
+            job = slot.job
+            emitted = [int(t) for t in toks[i]]
+            if job.gen.stop_at_eos and EOS_TOKEN in emitted:
+                emitted = emitted[: emitted.index(EOS_TOKEN) + 1]
+            job.output_tokens.extend(emitted)
+            slot.history.extend(emitted)
+            slot.remaining -= len(emitted)
+            slot.pos += n_chunk + 1
+            job.eval_ms.extend([dt_per_tok] * len(emitted))
+            job.output = _render_output(self.vocab, job)
+            done = slot.remaining <= 0 or (
+                job.gen.stop_at_eos and emitted and emitted[-1] == EOS_TOKEN
+            )
+            if done:
+                job.status = JobStatus.FINISHED
+                job.finished = time.time()
+                slot.job = None
 
     # --------------------------------------------------------- lifecycle
 
