@@ -35,11 +35,17 @@ GGJT_VERSION = 1  # reference: pkg/llama/llama.go:29
 ALIGNMENT = 32  # reference: pkg/llama/llama.go:925-933
 
 # dtype codes in tensor headers (reference: scripts/convert-pth-to-ggml.py:29-35
-# maps ftype->these via WTYPES; pkg/ml/ml.go:85-94 mirrors them).
+# maps ftype->these via WTYPES; pkg/ml/ml.go:85-94 mirrors them). Q4_0/Q8_0
+# blocks use ggml's bit layout (checkpoint/quant_file.py) — the reference
+# DEFINES Q4 codes but cannot load them (llama.go:956-958); we can.
 DTYPE_F32 = 0
 DTYPE_F16 = 1
+DTYPE_Q4_0 = 2
+DTYPE_Q8_0 = 8
 _DTYPE_TO_NP = {DTYPE_F32: np.float32, DTYPE_F16: np.float16}
 _NP_TO_DTYPE = {np.dtype(np.float32): DTYPE_F32, np.dtype(np.float16): DTYPE_F16}
+_QUANT_KINDS = {DTYPE_Q4_0: "q4_0", DTYPE_Q8_0: "q8_0"}
+_KIND_TO_DTYPE = {"q4_0": DTYPE_Q4_0, "q8_0": DTYPE_Q8_0}
 
 
 @dataclass
@@ -127,6 +133,18 @@ def read_ggjt(path: str, max_seq_len: int = 1024) -> GGJTCheckpoint:
         pos += name_len
         pos = (pos + ALIGNMENT - 1) // ALIGNMENT * ALIGNMENT
 
+        if dtype in _QUANT_KINDS:
+            from llamago_tpu.checkpoint.quant_file import QuantTensor, row_bytes
+
+            kind = _QUANT_KINDS[dtype]
+            in_dim, out_dim = ne[0], (ne[1] if n_dims == 2 else 1)
+            rb = row_bytes(kind, in_dim)
+            nbytes = out_dim * rb
+            raw = buf[pos : pos + nbytes].reshape(out_dim, rb)
+            pos += nbytes
+            tensors[name] = QuantTensor(kind=kind, raw=np.asarray(raw),
+                                        shape=(out_dim, in_dim))
+            continue
         np_dtype = _DTYPE_TO_NP.get(dtype)
         if np_dtype is None:
             raise ValueError(f"{path}: tensor '{name}' has unsupported dtype {dtype}")
@@ -141,6 +159,10 @@ def read_ggjt(path: str, max_seq_len: int = 1024) -> GGJTCheckpoint:
     if missing:
         raise ValueError(f"{path}: missing tensors: {sorted(missing)[:5]}...")
 
+    # ftype -> weight storage (llama.cpp codes: 0 f32, 1 f16, 2 Q4_0, 7 Q8_0)
+    weight_dtype = {0: "float32", 1: "bfloat16", 2: "int4", 7: "int8"}.get(
+        ftype, "bfloat16"
+    )
     config = ModelConfig(
         vocab_size=vocab_size,
         dim=dim,
@@ -148,6 +170,7 @@ def read_ggjt(path: str, max_seq_len: int = 1024) -> GGJTCheckpoint:
         n_heads=n_heads,
         multiple_of=multiple_of,
         max_seq_len=max_seq_len,
+        weight_dtype=weight_dtype,
     )
     return GGJTCheckpoint(config=config, vocab=vocab, tensors=tensors, ftype=ftype)
 
@@ -188,14 +211,22 @@ def write_ggjt(
             f.write(piece)
             f.write(struct.pack("<f", score))
         for name, arr in tensors.items():
-            arr = np.ascontiguousarray(arr)
-            dtype = _NP_TO_DTYPE[arr.dtype]
-            ne = list(reversed(arr.shape))
+            if hasattr(arr, "kind"):  # QuantTensor
+                dtype = _KIND_TO_DTYPE[arr.kind]
+                ne = [arr.shape[1], arr.shape[0]]  # (in, out)
+                payload = np.ascontiguousarray(arr.raw)
+                ndim = 2
+            else:
+                arr = np.ascontiguousarray(arr)
+                dtype = _NP_TO_DTYPE[arr.dtype]
+                ne = list(reversed(arr.shape))
+                payload = arr
+                ndim = arr.ndim
             sname = name.encode("utf-8")
-            f.write(struct.pack("<3i", arr.ndim, len(sname), dtype))
+            f.write(struct.pack("<3i", ndim, len(sname), dtype))
             for d in ne:
                 f.write(struct.pack("<i", d))
             f.write(sname)
             off = f.tell()
             f.write(b"\x00" * (-off % ALIGNMENT))
-            f.write(arr.tobytes())
+            f.write(payload.tobytes())

@@ -45,12 +45,27 @@ _LAYER_KEYS = {
 }
 
 
-def _stack_layers(
-    tensors: dict[str, np.ndarray], n_layers: int, key: str
-) -> np.ndarray:
+def _is_file_quant(x) -> bool:
+    return hasattr(x, "kind") and hasattr(x, "raw")  # quant_file.QuantTensor
+
+
+def _qt_to_host_leaf(qt) -> dict:
+    """File-quantized tensor -> host-side device-layout leaf {q8|q4, s}
+    (transpose of blocks; see checkpoint/quant_file.py)."""
+    from llamago_tpu.checkpoint.quant_file import split_blocks
+
+    q, d = split_blocks(qt)
+    key = "q8" if qt.kind == "q8_0" else "q4"
+    return {key: np.ascontiguousarray(q.T), "s": np.ascontiguousarray(d.T)}
+
+
+def _stack_layers(tensors: dict[str, np.ndarray], n_layers: int, key: str):
     suffix = _LAYER_KEYS[key]
-    mats = [np.asarray(tensors[f"layers.{i}.{suffix}"]) for i in range(n_layers)]
-    out = np.stack(mats)
+    mats = [tensors[f"layers.{i}.{suffix}"] for i in range(n_layers)]
+    if _is_file_quant(mats[0]):
+        leaves = [_qt_to_host_leaf(m) for m in mats]
+        return {k: np.stack([lf[k] for lf in leaves]) for k in leaves[0]}
+    out = np.stack([np.asarray(m) for m in mats])
     if out.ndim == 3:
         # [L, out, in] -> [L, in, out]
         out = out.transpose(0, 2, 1)
@@ -58,12 +73,21 @@ def _stack_layers(
 
 
 def host_parameters(config: ModelConfig, tensors: dict[str, np.ndarray]) -> Params:
-    """Assemble the host-side (numpy) parameter pytree from checkpoint tensors."""
+    """Assemble the host-side (numpy) parameter pytree from checkpoint
+    tensors. Pre-quantized (Q8_0/Q4_0 file) tensors become device-layout
+    quantized leaves; embeddings are dequantized if a foreign file
+    quantized them (the runtime needs a dense lookup table)."""
+    from llamago_tpu.checkpoint.quant_file import dequantize_rows
+
+    emb = tensors["tok_embeddings.weight"]
+    emb = dequantize_rows(emb) if _is_file_quant(emb) else np.asarray(emb)
+    out_w = tensors["output.weight"]
+    out_w = _qt_to_host_leaf(out_w) if _is_file_quant(out_w) else np.asarray(out_w).T
     layers = {k: _stack_layers(tensors, config.n_layers, k) for k in _LAYER_KEYS}
     return {
-        "tok_embeddings": np.asarray(tensors["tok_embeddings.weight"]),
+        "tok_embeddings": emb,
         "norm": np.asarray(tensors["norm.weight"]),
-        "output": np.asarray(tensors["output.weight"]).T,
+        "output": out_w,
         "layers": layers,
     }
 
@@ -83,7 +107,12 @@ def load_parameters(
 
 
 def _place(config: ModelConfig, host: Params, shardings: Params | None) -> Params:
-    if config.weight_dtype in ("int8", "int4"):
+    from llamago_tpu.ops.quant import is_quantized
+
+    has_prequant = any(
+        isinstance(l, dict) for l in jax.tree.leaves(host, is_leaf=is_quantized)
+    )
+    if config.weight_dtype in ("int8", "int4") or has_prequant:
         from llamago_tpu.ops.quant import quantize_params
 
         return quantize_params(config, host, shardings)

@@ -38,8 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
         prog="llamago-tpu", description="TPU-native LLaMA inference framework"
     )
     p.add_argument("command", nargs="?", default=None,
-                   help="optional subcommand: load | convert | perplexity")
+                   help="optional subcommand: load | convert | quantize | perplexity")
     p.add_argument("--file", default="", help="text file for `perplexity`")
+    p.add_argument("--out", default="", help="output path for `quantize`")
+    p.add_argument("--bits", type=int, default=8, choices=[4, 8],
+                   help="bit width for `quantize` [8]")
     # --- reference flag parity (main.go:24-41)
     p.add_argument("--prompt", default="", help="text prompt to feed the model")
     p.add_argument("--model", default="", help="path of converted .bin ggjt model")
@@ -94,6 +97,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_convert(args)
     if args.command == "perplexity":
         return cmd_perplexity(args)
+    if args.command == "quantize":
+        return cmd_quantize(args)
     if args.command is not None:
         print(f"unknown command: {args.command}", file=sys.stderr)
         return 2
@@ -132,9 +137,12 @@ def _load_engine(args):
     if not args.silent:
         print(f"[INIT] loading model {args.model} ...")
     ckpt = read_ggjt(args.model, max_seq_len=args.context)
+    file_quantized = ckpt.ftype in (2, 7)
     config = ckpt.config.replace(
         dtype=args.dtype,
-        weight_dtype=args.weight_dtype or args.dtype,
+        # a pre-quantized file dictates the weight storage
+        weight_dtype=(ckpt.config.weight_dtype if file_quantized
+                      else args.weight_dtype or args.dtype),
         max_seq_len=args.context,
     )
     shardings = None
@@ -307,6 +315,27 @@ def cmd_perplexity(args) -> int:
     print(f"[PPL] perplexity {result['ppl']:.4f} | nll {result['nll']:.4f} | "
           f"{result['n_tokens']} tokens in {result['n_windows']} windows "
           f"(ctx {ctx}, {config.weight_dtype} weights)")
+    return 0
+
+
+def cmd_quantize(args) -> int:
+    """ggjt f32/f16 -> Q8_0/Q4_0 (the reference's unimplemented Makefile
+    target; llama.cpp-compatible bit layout). Uses the native C++ kernels
+    when built."""
+    if not args.model:
+        print("error: quantize needs --model <ggjt file>", file=sys.stderr)
+        return 2
+    import time as _t
+
+    from llamago_tpu import native
+    from llamago_tpu.checkpoint.quant_file import quantize_ggjt
+
+    kind = "q8_0" if args.bits == 8 else "q4_0"
+    out = args.out or args.model.replace(".bin", f"-{kind}.bin")
+    t0 = _t.time()
+    quantize_ggjt(args.model, out, kind)
+    print(f"[QUANT] wrote {out} ({kind}, native={native.available()}) "
+          f"in {_t.time() - t0:.1f}s")
     return 0
 
 

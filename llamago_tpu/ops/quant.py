@@ -131,22 +131,20 @@ def quantize_params(config: ModelConfig, params, shardings=None):
     def shard_of(tree, key):
         return None if shardings is None else tree[key]
 
+    def handle(key, leaf, sh):
+        if is_quantized(leaf):  # pre-quantized (e.g. Q8_0/Q4_0 file blocks)
+            leaf = {k: jnp.asarray(v) for k, v in leaf.items()}
+            return _shard_quantized(leaf, sh)
+        if key in QUANT_LEAVES:
+            return _shard_quantized(quantize(jnp.asarray(leaf, dtype), bits), sh)
+        return put(jnp.asarray(leaf, dtype), sh)
+
     out = {"layers": {}}
     for key in ("tok_embeddings", "norm", "output"):
-        leaf = jnp.asarray(params[key], dtype)
-        if key in QUANT_LEAVES:
-            q = quantize(leaf, bits)
-            out[key] = _shard_quantized(q, shard_of(shardings, key))
-        else:
-            out[key] = put(leaf, shard_of(shardings, key))
+        out[key] = handle(key, params[key], shard_of(shardings, key))
     lsh = None if shardings is None else shardings["layers"]
     for key, leaf in params["layers"].items():
-        leaf = jnp.asarray(leaf, dtype)
-        sh = None if lsh is None else lsh[key]
-        if key in QUANT_LEAVES:
-            out["layers"][key] = _shard_quantized(quantize(leaf, bits), sh)
-        else:
-            out["layers"][key] = put(leaf, sh)
+        out["layers"][key] = handle(key, leaf, None if lsh is None else lsh[key])
     return out
 
 

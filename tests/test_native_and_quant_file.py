@@ -1,0 +1,134 @@
+"""Native C++ kernels (parity vs numpy) and Q8_0/Q4_0 ggjt file flow."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llamago_tpu import native
+from llamago_tpu.checkpoint.ggjt import read_ggjt, write_ggjt
+from llamago_tpu.checkpoint.quant_file import (
+    QuantTensor,
+    dequantize_rows,
+    quantize_array,
+    quantize_ggjt,
+    quantize_rows_q4_0,
+    quantize_rows_q8_0,
+    to_device_leaf,
+)
+
+from conftest import make_test_vocab, random_ggjt_tensors
+
+
+def rnd(shape, seed=0):
+    return (np.random.default_rng(seed).standard_normal(shape) * 0.1).astype(np.float32)
+
+
+# ----------------------------------------------------------------- native
+
+def test_native_builds():
+    assert native.build(), "g++ build of libggjt.so failed"
+    assert native.available()
+
+
+def test_native_fp16_bit_exact():
+    rng = np.random.default_rng(0)
+    vals = np.concatenate([
+        rng.standard_normal(4096).astype(np.float16),
+        np.array([0, -0, np.inf, -np.inf, np.nan, 6.1e-5, 5.9e-8], np.float16),
+    ])
+    got = native.fp16_to_fp32(vals)
+    want = vals.astype(np.float32)
+    np.testing.assert_array_equal(
+        np.nan_to_num(got, nan=12345), np.nan_to_num(want, nan=12345)
+    )
+
+
+@pytest.mark.parametrize("kind", ["q8_0", "q4_0"])
+def test_native_quantize_matches_numpy(kind):
+    x = rnd((64, 128), seed=1)
+    fn = native.quantize_rows(kind)
+    assert fn is not None
+    got = fn(x)
+    want = quantize_rows_q8_0(x) if kind == "q8_0" else quantize_rows_q4_0(x)
+    # scales may differ in the last ULP of f16; compare dequantized values
+    g = dequantize_rows(QuantTensor(kind, got, (64, 128)))
+    w = dequantize_rows(QuantTensor(kind, want, (64, 128)))
+    np.testing.assert_allclose(g, w, rtol=0, atol=2e-3)
+    # and the vast majority of bytes should be identical
+    assert (got == want).mean() > 0.99
+
+
+def test_native_transpose():
+    x = rnd((100, 70), seed=2)
+    got = native.transpose_f32(x)
+    np.testing.assert_array_equal(got, x.T)
+
+
+# ------------------------------------------------------------- file format
+
+@pytest.mark.parametrize("kind", ["q8_0", "q4_0"])
+def test_quant_block_roundtrip(kind):
+    x = rnd((16, 64), seed=3)
+    qt = quantize_array(x, kind)
+    deq = dequantize_rows(qt)
+    bound = np.abs(x).reshape(16, 2, 32).max(axis=-1, keepdims=True) / (
+        120 if kind == "q8_0" else 7.0
+    )
+    err = np.abs(deq - x).reshape(16, 2, 32)
+    assert (err <= bound + 1e-6).all()
+
+
+def test_device_leaf_matches_runtime_quantizer():
+    """File blocks -> device leaf must equal ops.quant.quantize of the
+    transposed weight (same packing, same scales up to f16 rounding)."""
+    from llamago_tpu.ops.quant import dequantize as deq_dev
+
+    x = rnd((32, 64), seed=4)  # [out, in]
+    qt = quantize_array(x, "q4_0")
+    leaf = to_device_leaf(qt)  # [in, out] layout
+    deq_file = np.asarray(deq_dev(leaf))  # [in, out]
+    np.testing.assert_allclose(deq_file.T, dequantize_rows(qt), rtol=0, atol=1e-6)
+
+
+def test_quantize_ggjt_end_to_end(tmp_path, tiny_config):
+    """f32 ggjt -> quantize tool -> load -> decode; logits close to dense."""
+    from llamago_tpu.checkpoint.params import load_parameters
+    from llamago_tpu.models.llama import forward
+    from llamago_tpu.runtime.kv_cache import KVCache
+
+    config = tiny_config.replace(dtype="float32", weight_dtype="float32")
+    tensors = random_ggjt_tensors(config, seed=5)
+    vocab = make_test_vocab()
+    tokens = list(vocab.tokens)
+    while len(tokens) < config.vocab_size:
+        tokens.append((f"<pad{len(tokens)}>".encode(), -10000.0))
+    from llamago_tpu.tokenizer import Vocab
+
+    vocab = Vocab(tokens[: config.vocab_size])
+
+    f32_path = str(tmp_path / "tiny-f32.bin")
+    write_ggjt(f32_path, config, vocab, tensors)
+    q8_path = quantize_ggjt(f32_path, str(tmp_path / "tiny-q8.bin"), "q8_0")
+
+    ckpt = read_ggjt(q8_path)
+    assert ckpt.ftype == 7
+    assert ckpt.config.weight_dtype == "int8"
+    assert isinstance(ckpt.tensors["layers.0.attention.wq.weight"], QuantTensor)
+    assert ckpt.tensors["norm.weight"].dtype == np.float32
+
+    qconfig = ckpt.config.replace(dtype="float32", max_seq_len=64)
+    qparams = load_parameters(qconfig, ckpt.tensors)
+
+    dense = load_parameters(config.replace(max_seq_len=64), tensors)
+    toks = jnp.array([[1, 5, 42, 300]], jnp.int32)
+    pos = jnp.zeros(1, jnp.int32)
+    ref, _ = forward(dense, toks,
+                     KVCache.create(config, batch=1, max_seq=64, dtype=jnp.float32),
+                     pos, config.replace(max_seq_len=64))
+    got, _ = forward(qparams, toks,
+                     KVCache.create(qconfig, batch=1, dtype=jnp.float32),
+                     pos, qconfig)
+    r, g = np.asarray(ref[0]), np.asarray(got[0])
+    assert np.corrcoef(r, g)[0, 1] > 0.999
+    assert np.argmax(r) == np.argmax(g)
