@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from llamago_tpu.config import ModelConfig
+from llamago_tpu.ops.attention import can_fuse_attention, flash_attention
 from llamago_tpu.ops.basic import apply_rope, linear, rms_norm, swiglu
 from llamago_tpu.runtime.kv_cache import KVCache
 
@@ -35,11 +36,12 @@ NEG_INF = float("-inf")
 
 
 def _update_cache(cache_layer: jnp.ndarray, new: jnp.ndarray, write_pos: jnp.ndarray):
-    """Write new [B, T, KV, hd] into cache [B, S, KV, hd] at per-batch offsets."""
+    """Write new [B, T, KV, hd] into cache [B, KV, S, hd] at per-batch offsets."""
+    new = new.transpose(0, 2, 1, 3)  # [B, KV, T, hd]; T is small, cheap
 
-    def upd(c, n, p):  # c: [S, KV, hd], n: [T, KV, hd], p: scalar
+    def upd(c, n, p):  # c: [KV, S, hd], n: [KV, T, hd], p: scalar
         zero = jnp.zeros((), p.dtype)
-        return jax.lax.dynamic_update_slice(c, n, (p, zero, zero))
+        return jax.lax.dynamic_update_slice(c, n, (zero, p, zero))
 
     return jax.vmap(upd)(cache_layer, new, write_pos)
 
@@ -47,8 +49,8 @@ def _update_cache(cache_layer: jnp.ndarray, new: jnp.ndarray, write_pos: jnp.nda
 def _attention(
     config: ModelConfig,
     q: jnp.ndarray,  # [B, T, H, hd] (roped)
-    k_cache: jnp.ndarray,  # [B, S, KV, hd] (roped)
-    v_cache: jnp.ndarray,  # [B, S, KV, hd]
+    k_cache: jnp.ndarray,  # [B, KV, S, hd] (roped)
+    v_cache: jnp.ndarray,  # [B, KV, S, hd]
     positions: jnp.ndarray,  # [B, T] absolute query positions
 ) -> jnp.ndarray:
     """Causal attention of new queries against the full cache buffer.
@@ -60,8 +62,13 @@ def _attention(
     DiagMaskInf + SoftMax (llama.go:307-313) without materializing -inf
     into a full [ctx, ctx] pass.
     """
+    if can_fuse_attention(q, k_cache):
+        # Fused Pallas path: scores never leave VMEM, K/V stream through
+        # once per (batch, head) — see ops/attention.py.
+        return flash_attention(q, k_cache, v_cache, positions)
+
     b, t, h, hd = q.shape
-    s = k_cache.shape[1]
+    s = k_cache.shape[2]
     kv = config.kv_heads
     g = h // kv  # GQA group size
 
@@ -69,7 +76,7 @@ def _attention(
     scale = 1.0 / (hd**0.5)  # reference: llama.go:303 (1/sqrt(embd/heads))
     acc = jnp.promote_types(q.dtype, jnp.float32)
     # scores: [B, KV, G, T, S]
-    scores = jnp.einsum("btkgd,bskd->bkgts", qg, k_cache, preferred_element_type=acc)
+    scores = jnp.einsum("btkgd,bksd->bkgts", qg, k_cache, preferred_element_type=acc)
     scores = scores * scale
 
     slot = jnp.arange(s, dtype=jnp.int32)
@@ -77,7 +84,7 @@ def _attention(
     scores = jnp.where(allowed[:, None, None, :, :], scores, NEG_INF)
 
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bkgts,bskd->btkgd", probs, v_cache, preferred_element_type=acc)
+    out = jnp.einsum("bkgts,bksd->btkgd", probs, v_cache, preferred_element_type=acc)
     return out.reshape(b, t, h * hd).astype(q.dtype)
 
 
@@ -187,12 +194,12 @@ def prefill_into_slot(
     costs one prompt-sized prefill, not a full-batch one. (The reference's
     equivalent is each pod owning a private context, server.go:110-151.)
     """
-    l, _, s, kv, hd = cache.k.shape
+    l, _, kv, s, hd = cache.k.shape
     zero = jnp.zeros((), slot.dtype)
     start = (zero, slot, zero, zero, zero)
     sub = KVCache(
-        k=jax.lax.dynamic_slice(cache.k, start, (l, 1, s, kv, hd)),
-        v=jax.lax.dynamic_slice(cache.v, start, (l, 1, s, kv, hd)),
+        k=jax.lax.dynamic_slice(cache.k, start, (l, 1, kv, s, hd)),
+        v=jax.lax.dynamic_slice(cache.v, start, (l, 1, kv, s, hd)),
     )
     logits, sub = forward_impl(
         params, tokens, sub, write_pos, config, logit_index=logit_index

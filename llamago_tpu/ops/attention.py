@@ -1,0 +1,211 @@
+"""Fused attention-over-KV-cache Pallas kernel (flash-style).
+
+The TPU-native replacement for the reference's attention op chain —
+KQ = MulMat(K, Q); scale; DiagMaskInf; SoftMax; KQV = MulMat(V, KQ)
+(reference: pkg/llama/llama.go:300-336, executed as five separate graph
+nodes over goroutines). Lowering that chain through plain jnp
+materializes the [B, KV, G, T, S] score tensor in HBM twice (once for
+scores, once for probs); this kernel keeps scores in VMEM and streams
+each K/V cache element through VMEM exactly once, so decode attention
+runs at the cache-read bandwidth roofline.
+
+Layout strategy (vs. a textbook flash kernel): decode and short-prefill
+caches are small enough that several heads' [S, hd] K/V planes fit in
+VMEM at once (S=4096, hd=128, bf16 = 1 MB/plane), so instead of
+online-softmax accumulation over S-blocks we grid over
+(batch, head-block, q-tile) and do one masked softmax per tile:
+
+  * KH heads are processed per program as a batched dot_general —
+    grid-step count (and its fixed cost, significant on this platform)
+    drops by KH vs one-head-per-program;
+  * the q-tile axis is innermost and the K/V index map ignores it, so
+    Pallas keeps the K/V block resident across q-tiles (no re-fetch);
+  * GQA folds the head-group axis into the q-tile rows: MHA (g=1)
+    decodes with rows=1 per head (bandwidth-bound anyway), GQA feeds
+    g rows per head to the MXU.
+
+The causal mask reproduces DiagMaskInf+SoftMax semantics: cache slot j
+is visible iff j <= absolute query position (see _attention in
+models/llama.py for why that covers exactly the written prefix).
+
+Cache layout is [B, KV, S, hd] (see runtime/kv_cache.py) so each head's
+(S, hd) plane lands in the TPU-tileable last two block dims.
+
+Off-TPU the kernel runs under interpret=True so the same code path is
+unit-tested on CPU (tests/test_attention.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from llamago_tpu.ops import kernels as _k
+
+NEG_INF = float("-inf")
+
+# VMEM budgets (bytes) guarding kernel applicability; past these the jnp
+# path is used instead. K+V blocks are double-buffered by the pipeline;
+# the f32 score tile lives once.
+_KV_BYTES_MAX = 2 * 1024 * 1024  # single-buffer K+V per program
+_SCORE_BYTES_MAX = 4 * 1024 * 1024
+
+# Workload floors below which the jnp path wins: each pallas_call carries
+# a fixed dispatch cost (~0.5-1.5 ms measured through this environment's
+# TPU tunnel; smaller but nonzero on production XLA), so the kernel must
+# move enough bytes to amortize it. Decode attention is cache-read bound:
+# require >=256 MB of K/V traffic per call. Prefill attention is
+# score-materialization bound in the jnp path (it round-trips
+# [B,H,T,S] f32 scores through HBM twice): require >=32 MB of scores.
+_MIN_DECODE_TRAFFIC = 256 * 1024 * 1024
+_MIN_PREFILL_SCORES = 32 * 1024 * 1024
+
+
+def _tiles(t: int, g: int, kv: int, s: int, hd: int, itemsize: int):
+    """(kh heads per program, q-tile) under the VMEM budgets."""
+    kh = kv
+    while kh > 1 and (kv % kh or 2 * kh * s * hd * itemsize > _KV_BYTES_MAX):
+        kh -= 1
+    if 2 * kh * s * hd * itemsize > _KV_BYTES_MAX:
+        return None, None
+    max_rows = max(8, _SCORE_BYTES_MAX // (4 * s * kh))
+    tb = min(t, max(1, max_rows // g))
+    while tb > 1 and t % tb:
+        tb //= 2
+    if t % tb:
+        return None, None
+    return kh, tb
+
+
+def can_fuse_attention(q: jnp.ndarray, k_cache: jnp.ndarray) -> bool:
+    """True if the fused kernel handles this (q, cache) geometry."""
+    if _k.DISABLE_FUSED:
+        return False
+    if not (_k._on_tpu() or _k.FORCE_INTERPRET):
+        return False
+    b, t, h, hd = q.shape
+    kv, s = k_cache.shape[1], k_cache.shape[2]
+    g = h // kv
+    if _k._on_tpu() and (hd % 128 != 0 or s % 8 != 0):
+        return False
+    if _k._on_tpu() and not _k.FORCE_INTERPRET:
+        cache_traffic = 2 * b * kv * s * hd * k_cache.dtype.itemsize
+        score_bytes = 4 * b * kv * g * t * s
+        if (cache_traffic < _MIN_DECODE_TRAFFIC
+                and score_bytes < _MIN_PREFILL_SCORES):
+            return False
+    kh, tb = _tiles(t, g, kv, s, hd, k_cache.dtype.itemsize)
+    return kh is not None
+
+
+def _attn_kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *, scale, g, tb, kh, s, hd):
+    """One (b, kb, ti) grid step: masked softmax(q K^T) V for kh heads.
+
+    pos_ref [B] scalar-prefetch — write_pos per batch: absolute position
+                                  of q row t=0
+    q_ref  (1, tb, kh, g, hd) VMEM — roped queries for this tile
+    k_ref  (1, kh, s, hd) VMEM — cached K planes for kh heads (resident
+                                  across ti steps: index map ignores ti)
+    v_ref  (1, kh, s, hd) VMEM — same for V
+    o_ref  (1, tb, kh, g, hd) VMEM
+    """
+    bi = pl.program_id(0)
+    ti = pl.program_id(2)
+    pos0 = pos_ref[bi]
+
+    rows = tb * g
+    q = q_ref[0].transpose(1, 0, 2, 3).reshape(kh, rows, hd)
+    k = k_ref[0]  # [kh, s, hd]
+    v = v_ref[0]
+
+    # scores [kh, rows, s]: batched over heads, f32 accumulation on MXU.
+    scores = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    scores = scores * scale
+
+    # causal mask: row r is query position pos0 + ti*tb + r//g.
+    qpos = (
+        pos0
+        + ti * tb
+        + jax.lax.broadcasted_iota(jnp.int32, (kh, rows, s), 1) // g
+    )
+    spos = jax.lax.broadcasted_iota(jnp.int32, (kh, rows, s), 2)
+    scores = jnp.where(spos <= qpos, scores, NEG_INF)
+
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jax.lax.dot_general(
+        probs, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    o_ref[0] = (
+        out.reshape(kh, tb, g, hd).transpose(1, 0, 2, 3).astype(o_ref.dtype)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _flash_attention(q5, k_cache, v_cache, pos0, scale):
+    b, t, kv, g, hd = q5.shape
+    s = k_cache.shape[2]
+    kh, tb = _tiles(t, g, kv, s, hd, k_cache.dtype.itemsize)
+
+    # positions ride scalar prefetch: available before the body runs and
+    # indexable by batch program id (a plain SMEM BlockSpec cannot block
+    # over the batch dim).
+    kv_spec = pl.BlockSpec(
+        (1, kh, s, hd), lambda bi, ki, ti, *_: (bi, ki, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    q_spec = pl.BlockSpec(
+        (1, tb, kh, g, hd),
+        lambda bi, ki, ti, *_: (bi, ti, ki, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, kv // kh, t // tb),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_kernel, scale=scale, g=g, tb=tb, kh=kh, s=s, hd=hd
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, t, kv, g, hd), q5.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * kv * g * t * s * hd,
+            bytes_accessed=(
+                2 * b * kv * s * hd * k_cache.dtype.itemsize
+                + 2 * b * t * kv * g * hd * q5.dtype.itemsize
+            ),
+            transcendentals=b * kv * g * t * s,
+        ),
+        interpret=_k._interpret(),
+    )(pos0, q5, k_cache, v_cache)
+    return out
+
+
+def flash_attention(
+    q: jnp.ndarray,  # [B, T, H, hd] (roped)
+    k_cache: jnp.ndarray,  # [B, KV, S, hd] (roped)
+    v_cache: jnp.ndarray,  # [B, KV, S, hd]
+    positions: jnp.ndarray,  # [B, T] absolute query positions
+) -> jnp.ndarray:
+    """Causal attention of new queries against the full cache buffer.
+
+    Drop-in for the jnp path in models/llama.py:_attention; same
+    semantics (mask slot <= query position, f32 softmax), returns
+    [B, T, H*hd] in q.dtype.
+    """
+    b, t, h, hd = q.shape
+    kv = k_cache.shape[1]
+    g = h // kv
+    q5 = q.reshape(b, t, kv, g, hd)
+    pos0 = positions[:, 0].astype(jnp.int32)
+    scale = 1.0 / (hd**0.5)  # reference: llama.go:303
+    out = _flash_attention(q5, k_cache, v_cache, pos0, scale)
+    return out.reshape(b, t, h * hd)

@@ -47,6 +47,19 @@ def _pick_tile(dim: int, candidates: tuple[int, ...]) -> int | None:
     return None
 
 
+def _tile_k(k: int) -> int | None:
+    """Contraction tile: lane-aligned, or the full dim (a block equal to
+    the whole array dim is always legal for the TPU lowering)."""
+    t = _pick_tile(k, (1024, 512, 256, 128))
+    if t is None and k % QK == 0:
+        t = k
+    return t
+
+
+def _tile_n(n: int) -> int:
+    return _pick_tile(n, (512, 256, 128)) or n
+
+
 def can_fuse(x: jnp.ndarray, w: dict) -> bool:
     """The fused kernel handles this (x, w) pair."""
     if DISABLE_FUSED:
@@ -57,10 +70,11 @@ def can_fuse(x: jnp.ndarray, w: dict) -> bool:
     n = w["s"].shape[-1]
     if w["s"].ndim != 2:  # layer-stacked weights arrive pre-sliced by scan
         return False
-    return (
-        _pick_tile(k, (1024, 512, 256, 128, 64, 32)) is not None
-        and _pick_tile(n, (512, 256, 128)) is not None
-    )
+    tk, tn = _tile_k(k), _tile_n(n)
+    if tk is None:
+        return False
+    # weight block must fit VMEM (double-buffered by the pipeline)
+    return tk * tn <= 4 * 1024 * 1024
 
 
 def _dequant_mm_kernel(x_ref, q_ref, s_ref, o_ref, *, bits: int, tk: int, tn: int):
@@ -90,8 +104,8 @@ def _dequant_mm_kernel(x_ref, q_ref, s_ref, o_ref, *, bits: int, tk: int, tn: in
 def _dequant_matmul_2d(x: jnp.ndarray, q: jnp.ndarray, s: jnp.ndarray, bits: int):
     m, k = x.shape
     n = s.shape[-1]
-    tk = _pick_tile(k, (1024, 512, 256, 128, 64, 32))
-    tn = _pick_tile(n, (512, 256, 128))
+    tk = _tile_k(k)
+    tn = _tile_n(n)
     tm = max(8, m)
     if m < tm:
         x = jnp.pad(x, ((0, tm - m), (0, 0)))

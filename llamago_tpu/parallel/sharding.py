@@ -104,9 +104,8 @@ def param_shardings(config: ModelConfig, mesh: Mesh):
 
 
 def cache_sharding(config: ModelConfig, mesh: Mesh) -> NamedSharding:
-    """KV cache [L, B, S, KV, hd]: kv_heads on tp, slots on dp."""
-    shape = (config.n_layers, 1, 1, config.kv_heads, config.head_dim)
-    spec = P(None, "dp", None, "tp", None)
+    """KV cache [L, B, KV, S, hd]: kv_heads on tp, batch slots on dp."""
+    spec = P(None, "dp", "tp", None, None)
     if config.kv_heads % mesh.shape["tp"] != 0:
         spec = P(None, "dp", None, None, None)
     return NamedSharding(mesh, spec)

@@ -9,8 +9,11 @@ donated buffers so updates are in place, and the shapes never change,
 which is what keeps prefill/decode down to one compilation each
 (vs. the reference rebuilding its graph every step, llama.go:232).
 
-Layout: [n_layers, batch, max_seq, kv_heads, head_dim], layer-major so
-`lax.scan` over layers unstacks it for free.
+Layout: [n_layers, batch, kv_heads, max_seq, head_dim] — layer-major so
+`lax.scan` over layers unstacks it for free, and head-major so each
+(batch, head) slice is a contiguous [max_seq, head_dim] plane in the
+TPU-tileable last two dims (what the fused attention kernel's BlockSpecs
+require, ops/attention.py).
 """
 
 from __future__ import annotations
@@ -26,8 +29,8 @@ from llamago_tpu.config import ModelConfig
 @jax.tree_util.register_dataclass
 @dataclass
 class KVCache:
-    # Either one stacked array [L, B, S, KV, hd] (scan-over-layers path)
-    # or a tuple of L arrays [B, S, KV, hd] (unrolled path — separate
+    # Either one stacked array [L, B, KV, S, hd] (scan-over-layers path)
+    # or a tuple of L arrays [B, KV, S, hd] (unrolled path — separate
     # buffers let XLA alias each layer's update in place inside a scan
     # carry; a stacked carry updated with .at[l].set() copies the whole
     # cache every layer).
@@ -44,7 +47,7 @@ class KVCache:
 
     @property
     def max_seq(self) -> int:
-        return (self.k[0] if self.layered else self.k).shape[-3]
+        return (self.k[0] if self.layered else self.k).shape[-2]
 
     @staticmethod
     def create(
@@ -58,8 +61,8 @@ class KVCache:
         shape = (
             config.n_layers,
             batch,
-            max_seq or config.max_seq_len,
             config.kv_heads,
+            max_seq or config.max_seq_len,
             config.head_dim,
         )
         dtype = dtype or jnp.dtype(config.dtype)

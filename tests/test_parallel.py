@@ -80,7 +80,7 @@ def test_indivisible_dims_fall_back_to_replication(tiny_gqa_config):
 def test_tp_gqa_forward_matches_local(tiny_gqa_config):
     # tp=2 divides kv_heads=2: KV cache genuinely head-sharded
     config, mesh, local, sharded = _sharded_setup(tiny_gqa_config, tp=2, seed=6)
-    assert cache_sharding(config, mesh).spec[3] == "tp"
+    assert cache_sharding(config, mesh).spec[2] == "tp"  # [L, B, KV, S, hd]
     tokens = jnp.array([[1, 9, 77]], jnp.int32)
     pos = jnp.zeros(1, jnp.int32)
     cache = KVCache.create(config, batch=1, dtype=jnp.float32)
