@@ -17,6 +17,8 @@ Subcommands:
 
 from __future__ import annotations
 
+from llamago_tpu.utils import colorize, log
+
 import argparse
 import os
 import sys
@@ -79,9 +81,22 @@ def build_parser() -> argparse.ArgumentParser:
                    help="weight storage [default: same as --dtype]")
     p.add_argument("--tp", type=int, default=0,
                    help="tensor-parallel size [0 = all local devices]")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel size (decode-slot replication) [1]")
     p.add_argument("--chunk", type=int, default=0,
                    help="on-device decode chunk size (tokens per host sync) "
                         "[0 = auto: 16 on TPU, 1 elsewhere]")
+    # multi-host (jax.distributed): every host runs the same command; on
+    # TPU pods the topology auto-discovers, so just pass --multihost.
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed before touching devices")
+    p.add_argument("--coordinator", default="",
+                   help="coordinator address host:port (manual fleets; "
+                        "TPU pods auto-discover)")
+    p.add_argument("--nprocs", type=int, default=0,
+                   help="total process count for --coordinator mode")
+    p.add_argument("--procid", type=int, default=-1,
+                   help="this process's id for --coordinator mode")
     return p
 
 
@@ -89,7 +104,7 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
     if not args.silent:
-        print(LOGO)
+        colorize("[magenta]" + LOGO)
 
     if args.command == "load":
         return cmd_load(args)
@@ -107,6 +122,15 @@ def main(argv: list[str] | None = None) -> int:
         print("error: --model is required (or use the `load`/`convert` commands)",
               file=sys.stderr)
         return 2
+
+    if args.multihost or args.coordinator:
+        from llamago_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed(
+            coordinator=args.coordinator or None,
+            num_processes=args.nprocs or None,
+            process_id=args.procid if args.procid >= 0 else None,
+        )
 
     profiler = None
     if args.profile:
@@ -135,7 +159,7 @@ def _load_engine(args):
 
     t0 = time.time()
     if not args.silent:
-        print(f"[INIT] loading model {args.model} ...")
+        log("info", f"loading model {args.model} ...")
     ckpt = read_ggjt(args.model, max_seq_len=args.context)
     file_quantized = ckpt.ftype in (2, 7)
     config = ckpt.config.replace(
@@ -146,19 +170,20 @@ def _load_engine(args):
         max_seq_len=args.context,
     )
     shardings = None
-    n_dev = len(jax.devices())
-    tp = args.tp if args.tp > 0 else n_dev
-    if tp > 1:
+    n_dev = len(jax.devices())  # global count under jax.distributed
+    dp = max(args.dp, 1)
+    tp = args.tp if args.tp > 0 else n_dev // dp
+    if tp * dp > 1:
         from llamago_tpu.parallel import make_mesh, param_shardings
 
-        mesh = make_mesh(tp=tp)
+        mesh = make_mesh(tp=tp, dp=dp)
         shardings = param_shardings(config, mesh)
     params = load_parameters(config, ckpt.tensors, shardings=shardings)
     jax.block_until_ready(jax.tree.leaves(params)[0])
     if not args.silent:
-        print(f"[INIT] model ready in {time.time() - t0:.1f}s "
-              f"({config.n_layers} layers, dim {config.dim}, "
-              f"{config.weight_dtype} weights, tp={tp})")
+        log("info", f"model ready in {time.time() - t0:.1f}s",
+            layers=config.n_layers, dim=config.dim,
+            weights=config.weight_dtype, tp=tp)
     chunk = args.chunk or (16 if jax.default_backend() == "tpu" else 1)
     engine = Engine(config, params, ckpt.vocab, slots=args.pods,
                     decode_chunk_size=chunk)
@@ -196,8 +221,8 @@ def run(args) -> int:
             model_name=os.path.basename(args.model),
         )
         if not args.silent:
-            print(f"[SERVE] listening on http://{args.host}:{args.port} "
-                  f"with {args.pods} pods")
+            log("info", f"listening on http://{args.host}:{args.port}",
+                pods=args.pods)
         try:
             server.serve_forever()
         except KeyboardInterrupt:
@@ -232,7 +257,7 @@ def run_oneshot(engine, gen, args) -> int:
         print(job.output[shown:], end="", flush=True)
     print()
     if job.status == JobStatus.FAILED:
-        print(f"[ERROR] {job.error}", file=sys.stderr)
+        log("error", job.error)
         return 1
     if not args.silent:
         _report(job)

@@ -119,6 +119,10 @@ class GenerateConfig:
     # --predict tokens; server.go:153, EOS check only in dead code
     # main.go:233-235). Default False for parity; True is the sane mode.
     stop_at_eos: bool = False
+    # Wall-clock job deadline in seconds; 0 disables. Implements the
+    # reference's unwritten background watcher ("TODO: Background watcher
+    # which will make the jobs obsolete after some deadline", server.go:55).
+    deadline_s: float = 0.0
 
     def replace(self, **kw) -> "GenerateConfig":
         return dataclasses.replace(self, **kw)

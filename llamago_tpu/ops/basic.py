@@ -22,6 +22,10 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float = 1e-5) -> jnp.ndar
     everything in f32; in bf16 compute the f32 reduction is what preserves
     its numerics).
     """
+    from llamago_tpu.ops import kernels
+
+    if kernels.can_fuse_norm(x):
+        return kernels.fused_rms_norm(x, weight, eps)
     xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
     rms = jnp.sqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
     return ((xf / rms).astype(x.dtype)) * weight

@@ -144,3 +144,59 @@ def dequant_matmul(x: jnp.ndarray, w: dict) -> jnp.ndarray:
         m *= d
     out = _dequant_matmul_2d(x.reshape(m, k), q, w["s"], bits)
     return out.reshape(*lead, w["s"].shape[-1]).astype(x.dtype)
+
+
+# --------------------------------------------------------------- RMSNorm
+
+# The fused RMSNorm kernel exists for completeness with the kernel layer
+# the survey calls for (SURVEY.md §2.2); XLA already fuses the jnp
+# rms_norm (ops/basic.py) into one HBM pass, and each extra pallas_call
+# carries fixed dispatch cost, so it is opt-in.
+USE_FUSED_NORM = False
+
+
+def _rms_norm_kernel(x_ref, w_ref, o_ref, *, eps):
+    x = x_ref[:].astype(jnp.float32)
+    ms = jnp.mean(x * x, axis=-1, keepdims=True)
+    y = x * jax.lax.rsqrt(ms + eps)
+    o_ref[:] = (y * w_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def can_fuse_norm(x: jnp.ndarray) -> bool:
+    if DISABLE_FUSED or not USE_FUSED_NORM:
+        return False
+    if not (_on_tpu() or FORCE_INTERPRET):
+        return False
+    d = x.shape[-1]
+    rows = 1
+    for s in x.shape[:-1]:
+        rows *= s
+    return (d % 128 == 0 or not _on_tpu()) and rows >= 1
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def _rms_norm_2d(x2: jnp.ndarray, w: jnp.ndarray, eps: float):
+    rows, d = x2.shape
+    tr = _pick_tile(rows, (256, 128, 64, 32, 16, 8)) or rows
+    return pl.pallas_call(
+        functools.partial(_rms_norm_kernel, eps=eps),
+        grid=(rows // tr,),
+        in_specs=[
+            pl.BlockSpec((tr, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tr, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, d), x2.dtype),
+        interpret=_interpret(),
+    )(x2, w)
+
+
+def fused_rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float = 1e-5):
+    """RMSNorm as one Pallas pass: f32 row reduction + weight scale
+    (reference kernel: ComputeForwardRMSNormFP32, ml.go:1753-1812)."""
+    *lead, d = x.shape
+    rows = 1
+    for s in lead:
+        rows *= s
+    out = _rms_norm_2d(x.reshape(rows, d), w, eps)
+    return out.reshape(*lead, d)

@@ -403,11 +403,44 @@ class Engine:
 
     # --------------------------------------------------------- lifecycle
 
+    def _fail_active(self, exc: Exception) -> None:
+        """Mark every in-flight job failed. The reference leaves jobs of a
+        failed eval stuck in 'processing' forever ("TODO: Finish job
+        properly with [failed] status", server.go:176-177); here the
+        engine loop survives and the jobs carry the error."""
+        msg = f"{type(exc).__name__}: {exc}"
+        for slot in self.slots:
+            if slot.job is not None:
+                slot.job.status = JobStatus.FAILED
+                slot.job.error = msg
+                slot.job.finished = time.time()
+                slot.job = None
+
+    def _expire_deadlines(self) -> None:
+        """Fail jobs that exceeded their wall-clock deadline (the
+        reference's unimplemented background watcher, server.go:55)."""
+        now = time.time()
+        for slot in self.slots:
+            job = slot.job
+            if job is not None and job.gen.deadline_s > 0 and (
+                    now - job.started > job.gen.deadline_s):
+                job.status = JobStatus.FAILED
+                job.error = f"deadline exceeded ({job.gen.deadline_s:.0f}s)"
+                job.output = _render_output(self.vocab, job)
+                job.finished = now
+                slot.job = None
+
     def run_forever(self, poll_interval: float = 0.05) -> None:
         """Engine loop (reference poll loop: server.go:84-106, 1s tick —
         here an event wakes the loop immediately on submit)."""
         while not self._stop.is_set():
-            if not self.step():
+            try:
+                self._expire_deadlines()
+                busy = self.step()
+            except Exception as exc:  # noqa: BLE001 — engine must survive
+                self._fail_active(exc)
+                busy = True
+            if not busy:
                 self._wake.wait(timeout=poll_interval)
                 self._wake.clear()
 

@@ -16,7 +16,8 @@ properly at admission in runtime/engine.py).
 
 Beyond parity: jobs can end in "failed" with an "error" field (the
 reference leaves a failed eval stuck in processing, server.go:176-177),
-and GET /health exposes engine/queue metrics.
+GET /health exposes engine/queue state, and GET /metrics exposes
+aggregate TTFT / tokens-per-second percentiles.
 
 The backend is the continuously-batched Engine — the reference's
 MaxPods-goroutines scheduler (server.go:84-106) reinterpreted as decode
@@ -132,6 +133,34 @@ class JobServer:
             "model": self.model_name,
         }
 
+    def metrics(self) -> tuple[int, object]:
+        """Aggregate per-request latency/throughput metrics (SURVEY.md §5:
+        the reference prints per-job tables to the console only,
+        server.go:248-274; this is the queryable equivalent)."""
+        with self._lock:
+            done = [j for j in self.jobs.values() if j.status == JobStatus.FINISHED]
+            counts: dict[str, int] = {}
+            for j in self.jobs.values():
+                counts[j.status.value] = counts.get(j.status.value, 0) + 1
+
+        def pct(vals: list[float], q: float) -> float:
+            if not vals:
+                return 0.0
+            vals = sorted(vals)
+            return vals[min(len(vals) - 1, int(q * len(vals)))]
+
+        ttfts = [j.ttft_ms for j in done if j.ttft_ms > 0]
+        tps = [j.tokens_per_second for j in done if j.output_tokens]
+        return 200, {
+            "jobs": counts,
+            "slots": self.engine.n_slots,
+            "generated_tokens": sum(len(j.output_tokens) for j in done),
+            "ttft_ms": {"p50": round(pct(ttfts, 0.5), 1),
+                        "p95": round(pct(ttfts, 0.95), 1)},
+            "tokens_per_second": {"p50": round(pct(tps, 0.5), 2),
+                                  "p95": round(pct(tps, 0.95), 2)},
+        }
+
     # ------------------------------------------------------------- serve
 
     def serve_forever(self) -> None:
@@ -192,6 +221,8 @@ def _make_handler(server: JobServer):
             parts = [p for p in self.path.split("/") if p]
             if parts == ["health"]:
                 return self._send(*server.health())
+            if parts == ["metrics"]:
+                return self._send(*server.metrics())
             if len(parts) == 3 and parts[:2] == ["jobs", "status"]:
                 return self._send(*server.get_status(parts[2]))
             if len(parts) == 2 and parts[0] == "jobs":

@@ -117,3 +117,20 @@ def test_end_to_end_forward_uses_kernel(tiny_gqa_config):
     np.testing.assert_allclose(
         np.asarray(logits_fused), np.asarray(logits_ref), atol=5e-4
     )
+
+
+def test_fused_rms_norm_matches_jnp():
+    """Opt-in fused RMSNorm Pallas kernel (interpret mode) vs ops/basic."""
+    from llamago_tpu.ops import basic, kernels
+
+    kernels.USE_FUSED_NORM = True
+    try:
+        x = _rand((2, 5, 64), 21)
+        w = _rand((64,), 22)
+        assert kernels.can_fuse_norm(x)
+        got = basic.rms_norm(x, w)
+        kernels.USE_FUSED_NORM = False
+        want = basic.rms_norm(x, w)
+    finally:
+        kernels.USE_FUSED_NORM = False
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

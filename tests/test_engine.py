@@ -128,3 +128,49 @@ def test_queue_overflow_waits_for_free_slot(engine_setup):
         eng.step()
     assert a.status == JobStatus.FINISHED
     assert b.status == JobStatus.FINISHED
+
+
+def test_engine_loop_survives_eval_failure(engine_setup, monkeypatch):
+    """A failed eval marks in-flight jobs FAILED and the loop keeps
+    serving (the reference leaves them stuck in processing,
+    server.go:176-177)."""
+    import llamago_tpu.runtime.engine as eng_mod
+
+    config, params, vocab = engine_setup
+    eng = Engine(config, params, vocab, slots=1, buckets=(16, 32, 64))
+
+    real_prefill = eng_mod.prefill_into_slot
+    monkeypatch.setattr(
+        eng_mod, "prefill_into_slot",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom")),
+    )
+    job = eng.submit("hello", GREEDY)
+    try:
+        eng._expire_deadlines()
+        eng.step()
+    except RuntimeError as exc:
+        eng._fail_active(exc)
+    assert job.status == JobStatus.FAILED
+    assert "boom" in job.error
+    assert job.finished > 0
+
+    # engine still serves new jobs afterwards
+    monkeypatch.setattr(eng_mod, "prefill_into_slot", real_prefill)
+    ok = eng.generate("hello", GREEDY)
+    assert ok.status == JobStatus.FINISHED
+
+
+def test_job_deadline_expires(engine_setup):
+    """deadline_s fails long jobs (the reference's unwritten background
+    watcher, server.go:55)."""
+    import time
+
+    config, params, vocab = engine_setup
+    eng = Engine(config, params, vocab, slots=1, buckets=(16, 32, 64))
+    gen = GREEDY.replace(max_tokens=1000, deadline_s=1e-9)
+    job = eng.submit("hello", gen)
+    eng.step()  # admit + first step
+    time.sleep(0.01)
+    eng._expire_deadlines()
+    assert job.status == JobStatus.FAILED
+    assert "deadline" in job.error

@@ -145,3 +145,22 @@ def test_concurrent_jobs(server):
                 done.add(jid)
         time.sleep(0.1)
     assert len(done) == len(ids)
+
+
+def test_metrics(server):
+    # ensure at least one finished job feeds the aggregates
+    jid = str(uuid.uuid4())
+    code, _ = req(server, "POST", "/jobs/", {"id": jid, "prompt": "hello"})
+    assert code == 200
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        _, st = req(server, "GET", f"/jobs/status/{jid}")
+        if st["status"] == "finished":
+            break
+        time.sleep(0.1)
+    code, body = req(server, "GET", "/metrics")
+    assert code == 200
+    assert body["jobs"].get("finished", 0) >= 1
+    assert body["generated_tokens"] > 0
+    assert body["ttft_ms"]["p50"] > 0
+    assert body["tokens_per_second"]["p50"] > 0
