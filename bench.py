@@ -58,8 +58,19 @@ def main() -> None:
         return np.asarray(arr.reshape(-1)[:1])
 
     t0 = time.time()
-    params = random_parameters(config, seed=0)
-    params = unstack_layer_params(params, config.n_layers)
+    from llamago_tpu.checkpoint.params import fuse_layer_weights
+
+    if weight_dtype in ("int8", "int4"):
+        # quantized leaves are created directly (no dense transient /
+        # quantize pass) — same layout and bandwidth as real weights
+        from llamago_tpu.checkpoint.params import random_quantized_parameters
+
+        params = random_quantized_parameters(config, seed=0, layered=True)
+    else:
+        params = random_parameters(config, seed=0)
+        params = unstack_layer_params(params, config.n_layers)
+    if os.environ.get("BENCH_FUSE", "1") == "1":
+        params = fuse_layer_weights(params)  # QKV + W13 fusion
     sync(jax.tree.leaves(params)[0])
     init_s = time.time() - t0
 

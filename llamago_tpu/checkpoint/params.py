@@ -223,3 +223,112 @@ def random_parameters(
 
         params = jax.tree.map(place, params, shardings, is_leaf=is_quantized)
     return params
+
+
+def random_quantized_parameters(
+    config: ModelConfig, seed: int = 0, layered: bool = True
+) -> Params:
+    """Benchmark-grade random parameters with quantized leaves created
+    DIRECTLY as int8/int4 + scales — no dense f32 transient, no quantize
+    pass. Numerically meaningless weights (uniform ints, constant scales)
+    at exactly the production memory layout and bandwidth footprint;
+    bench.py uses this so a 7B-model setup takes seconds, not minutes.
+    """
+    from functools import partial
+
+    from llamago_tpu.ops.quant import QK, QUANT_LEAVES
+
+    bits = {"int8": 8, "int4": 4}[config.weight_dtype]
+    dtype = jnp.bfloat16
+    d, v, f = config.dim, config.vocab_size, config.ffn_hidden
+    h, kv, hd, layers = config.n_heads, config.kv_heads, config.head_dim, config.n_layers
+
+    key_iter = iter(jax.random.split(jax.random.PRNGKey(seed), 16 * (layers + 1)))
+
+    # One threefry program fills a byte pool; every quantized leaf is a
+    # salted view of it. Distinct-shape threefry compiles (~10s each for
+    # GB-sized leaves) would otherwise dominate bench setup.
+    qshapes = [(d, h * hd), (d, kv * hd), (h * hd, d), (d, f), (f, d), (d, v)]
+    pool_els = max((k if bits == 8 else k // 2) * n for k, n in qshapes)
+    pool = jax.random.bits(jax.random.PRNGKey(seed + 1), (pool_els,), jnp.uint8)
+    salt_iter = iter(range(1, 4096))
+
+    @partial(jax.jit, static_argnames=("shape",))
+    def qleaf_from_pool(pool, salt, shape):
+        k, n = shape
+        rows = k if bits == 8 else k // 2
+        q = (pool[: rows * n] ^ salt).reshape(rows, n)
+        body = {"q8": q.astype(jnp.int8)} if bits == 8 else {"q4": q}
+        return {**body, "s": jnp.full((k // QK, n), 0.01, jnp.float32)}
+
+    def qleaf(key, shape):
+        del key
+        salt = jnp.uint8(next(salt_iter) % 251 + 1)
+        return qleaf_from_pool(pool, salt, shape)
+
+    @partial(jax.jit, static_argnames=("shape",))
+    def dense(key, shape):
+        if len(shape) == 1:
+            return jnp.ones(shape, dtype)
+        return (jax.random.normal(key, shape, jnp.float32) * 0.02).astype(dtype)
+
+    def mat(name, shape):
+        if name in QUANT_LEAVES:
+            return qleaf(next(key_iter), shape)
+        return dense(next(key_iter), shape)
+
+    layer_shapes = {
+        "attention_norm": (d,), "ffn_norm": (d,),
+        "wq": (d, h * hd), "wk": (d, kv * hd), "wv": (d, kv * hd),
+        "wo": (h * hd, d), "w1": (d, f), "w2": (f, d), "w3": (d, f),
+    }
+    per_layer = tuple(
+        {k: mat(k, s) for k, s in layer_shapes.items()} for _ in range(layers)
+    )
+    return {
+        "tok_embeddings": dense(next(key_iter), (v, d)),
+        "norm": dense(next(key_iter), (d,)),
+        "output": mat("output", (d, v)),
+        "layers": per_layer if layered else _restack_layer_tuple(per_layer),
+    }
+
+
+def _restack_layer_tuple(per_layer):
+    def stack(*leaves):
+        return jnp.stack(leaves)
+
+    return jax.tree.map(stack, *per_layer)
+
+
+def _concat_weights(ws, axis=-1):
+    """Concatenate dense or quantized leaves along the output dim."""
+    if isinstance(ws[0], dict):
+        qk = "q8" if "q8" in ws[0] else "q4"
+        return {
+            qk: jnp.concatenate([w[qk] for w in ws], axis=axis),
+            "s": jnp.concatenate([w["s"] for w in ws], axis=axis),
+        }
+    return jnp.concatenate(ws, axis=axis)
+
+
+def fuse_layer_weights(params: Params) -> Params:
+    """Fuse wq/wk/wv -> wqkv and w1/w3 -> w13 (shared input, so one
+    streamed matmul instead of three/two — fewer kernel dispatches and
+    larger, better-pipelined weight reads). The forward pass splits the
+    outputs (models/llama.py). Not applied under tensor parallelism:
+    concatenated outputs would shard across segment boundaries.
+    """
+
+    def fuse_one(lp: dict) -> dict:
+        out = {k: v for k, v in lp.items()
+               if k not in ("wq", "wk", "wv", "w1", "w3")}
+        out["wqkv"] = _concat_weights([lp["wq"], lp["wk"], lp["wv"]])
+        out["w13"] = _concat_weights([lp["w1"], lp["w3"]])
+        return out
+
+    layers = params["layers"]
+    if isinstance(layers, (list, tuple)):
+        layers = tuple(fuse_one(lp) for lp in layers)
+    else:
+        layers = fuse_one(layers)
+    return {**params, "layers": layers}

@@ -179,6 +179,14 @@ def _load_engine(args):
         mesh = make_mesh(tp=tp, dp=dp)
         shardings = param_shardings(config, mesh)
     params = load_parameters(config, ckpt.tensors, shardings=shardings)
+    if tp * dp <= 1:
+        # fused QKV/W13 projections: fewer kernel dispatches per layer
+        # (skipped under TP — concatenated outputs would shard across
+        # segment boundaries). Weights stay layer-stacked for the
+        # engine's scan-over-layers path.
+        from llamago_tpu.checkpoint.params import fuse_layer_weights
+
+        params = fuse_layer_weights(params)
     jax.block_until_ready(jax.tree.leaves(params)[0])
     if not args.silent:
         log("info", f"model ready in {time.time() - t0:.1f}s",

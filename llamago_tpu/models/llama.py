@@ -112,12 +112,24 @@ def forward_impl(
     # Embedding lookup (reference: GetRows, llama.go:244).
     x = params["tok_embeddings"][tokens].astype(dtype)  # [B, T, D]
 
+    q_dim = config.n_heads * config.head_dim
+    kv_dim = config.kv_heads * config.head_dim
+
     def block(x, lp, k_layer, v_layer):
         # --- attention (reference: llama.go:250-345)
         h = rms_norm(x, lp["attention_norm"], config.norm_eps)
-        q = linear(h, lp["wq"]).reshape(b, t, config.n_heads, config.head_dim)
-        k = linear(h, lp["wk"]).reshape(b, t, config.kv_heads, config.head_dim)
-        v = linear(h, lp["wv"]).reshape(b, t, config.kv_heads, config.head_dim)
+        if "wqkv" in lp:
+            # fused QKV projection (checkpoint/params.py:fuse_layer_weights)
+            qkv = linear(h, lp["wqkv"])
+            q = qkv[..., :q_dim]
+            k = qkv[..., q_dim:q_dim + kv_dim]
+            v = qkv[..., q_dim + kv_dim:]
+        else:
+            q, k, v = (linear(h, lp["wq"]), linear(h, lp["wk"]),
+                       linear(h, lp["wv"]))
+        q = q.reshape(b, t, config.n_heads, config.head_dim)
+        k = k.reshape(b, t, config.kv_heads, config.head_dim)
+        v = v.reshape(b, t, config.kv_heads, config.head_dim)
 
         q = apply_rope(q, positions, config.rope_theta)
         k = apply_rope(k, positions, config.rope_theta)
@@ -130,7 +142,13 @@ def forward_impl(
 
         # --- FFN (reference: llama.go:340-369)
         h = rms_norm(x, lp["ffn_norm"], config.norm_eps)
-        x = x + swiglu(h, lp["w1"], lp["w2"], lp["w3"])
+        if "w13" in lp:
+            h13 = linear(h, lp["w13"])
+            gate, up = h13[..., :config.ffn_hidden], h13[..., config.ffn_hidden:]
+            gate = jax.nn.silu(gate.astype(jnp.float32)).astype(h.dtype)
+            x = x + linear(gate * up, lp["w2"])
+        else:
+            x = x + swiglu(h, lp["w1"], lp["w2"], lp["w3"])
         return x, k_layer, v_layer
 
     layers = params["layers"]

@@ -162,3 +162,53 @@ def test_bf16_runs(tiny_config):
     )
     assert logits.dtype == jnp.float32
     assert bool(jnp.isfinite(logits).all())
+
+
+def test_fused_qkv_w13_matches_unfused(tiny_gqa_config):
+    """fuse_layer_weights halves kernel dispatches; outputs must match."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from llamago_tpu.checkpoint.params import (
+        fuse_layer_weights,
+        random_parameters,
+        unstack_layer_params,
+    )
+    from llamago_tpu.models.llama import forward_impl
+    from llamago_tpu.runtime.kv_cache import KVCache
+
+    config = tiny_gqa_config.replace(dtype="float32", weight_dtype="float32")
+    params = unstack_layer_params(random_parameters(config, seed=5),
+                                  config.n_layers)
+    tokens = jnp.asarray([[3, 9, 2, 7]], jnp.int32)
+    wp = jnp.zeros(1, jnp.int32)
+
+    ref, _ = forward_impl(params, tokens,
+                          KVCache.create(config, batch=1, layered=True),
+                          wp, config)
+    fused = fuse_layer_weights(params)
+    assert "wqkv" in fused["layers"][0] and "wq" not in fused["layers"][0]
+    got, _ = forward_impl(fused, tokens,
+                          KVCache.create(config, batch=1, layered=True),
+                          wp, config)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_weights_quantized(tiny_gqa_config):
+    """Fusion concatenates quantized leaves blockwise-consistently."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from llamago_tpu.checkpoint.params import fuse_layer_weights, random_parameters, unstack_layer_params
+    from llamago_tpu.models.llama import forward_impl
+    from llamago_tpu.runtime.kv_cache import KVCache
+
+    config = tiny_gqa_config.replace(dtype="float32", weight_dtype="int8")
+    params = unstack_layer_params(random_parameters(config, seed=5), config.n_layers)
+    tokens = jnp.asarray([[3, 9, 2]], jnp.int32)
+    wp = jnp.zeros(1, jnp.int32)
+    ref, _ = forward_impl(params, tokens, KVCache.create(config, batch=1, layered=True), wp, config)
+    got, _ = forward_impl(fuse_layer_weights(params), tokens,
+                          KVCache.create(config, batch=1, layered=True), wp, config)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
