@@ -43,6 +43,7 @@ def main() -> None:
     n_tokens = int(os.environ.get("BENCH_TOKENS", "512" if on_tpu else "32"))
     chunk = int(os.environ.get("BENCH_CHUNK", "128" if on_tpu else "16"))
     ctx = int(os.environ.get("BENCH_CTX", "1024" if on_tpu else "128"))
+    batch = int(os.environ.get("BENCH_BATCH", "1"))  # decode slots (serving shape)
     prompt_len = 64 if on_tpu else 8
 
     config = MODEL_PRESETS[model_name].replace(
@@ -74,21 +75,21 @@ def main() -> None:
     sync(jax.tree.leaves(params)[0])
     init_s = time.time() - t0
 
-    cache = KVCache.create(config, batch=1, layered=True)
-    prompt = jnp.ones((1, prompt_len), jnp.int32)
+    cache = KVCache.create(config, batch=batch, layered=True)
+    prompt = jnp.ones((batch, prompt_len), jnp.int32)
     t0 = time.time()
-    logits, cache = forward(params, prompt, cache, jnp.zeros(1, jnp.int32), config)
+    logits, cache = forward(params, prompt, cache, jnp.zeros(batch, jnp.int32), config)
     sync(logits)
     prefill_s = time.time() - t0  # includes compile
     tok = jnp.argmax(logits, -1).astype(jnp.int32)
-    pos = jnp.array([prompt_len], jnp.int32)
+    pos = jnp.full((batch,), prompt_len, jnp.int32)
 
     # warmup chunk — MUST use the exact steady-state arg structure
     # (state=None vs state=SamplerState are different pytrees -> retrace)
     from llamago_tpu.ops.sampling import SamplerState
 
-    st = SamplerState.create(1, 1, config.vocab_size)
-    rngs = jax.vmap(jax.random.PRNGKey)(jnp.zeros(1, jnp.int32))
+    st = SamplerState.create(batch, 1, config.vocab_size)
+    rngs = jax.vmap(jax.random.PRNGKey)(jnp.zeros(batch, jnp.int32))
     t0 = time.time()
     toks, cache, pos, st, rngs = decode_chunk(
         params, tok, cache, pos, config, chunk, rngs=rngs, state=st
@@ -103,7 +104,7 @@ def main() -> None:
         toks, cache, pos, st, rngs = decode_chunk(
             params, toks[:, -1], cache, pos, config, chunk, rngs=rngs, state=st
         )
-        produced += chunk
+        produced += chunk * batch
     sync(toks)
     dt = time.time() - t0
     toks_per_s = produced / dt
@@ -115,7 +116,7 @@ def main() -> None:
         f"decode={produced} toks in {dt:.2f}s\n"
     )
     print(json.dumps({
-        "metric": f"decode_tokens_per_sec_{model_name}_{weight_dtype}_greedy_b1",
+        "metric": f"decode_tokens_per_sec_{model_name}_{weight_dtype}_greedy_b{batch}",
         "value": round(toks_per_s, 2),
         "unit": "tokens/s",
         "vs_baseline": round(toks_per_s / REFERENCE_7B_FP32_CPU_TOKS, 2),

@@ -90,10 +90,12 @@ def _dequant_mm_kernel(x_ref, q_ref, s_ref, o_ref, *, bits: int, tk: int, tn: in
     if bits == 8:
         q = q_ref[:].astype(jnp.float32).reshape(blocks, QK, tn)
     else:
-        p = q_ref[:].reshape(blocks, QK // 2, tn)
-        lo = (p & 0xF).astype(jnp.int8) - 8
-        hi = ((p >> 4) & 0xF).astype(jnp.int8) - 8
-        q = jnp.concatenate([lo, hi], axis=1).astype(jnp.float32)
+        # all unpack arithmetic in int32: Mosaic has no uint8 vector
+        # shift/subtract and no direct uint8->f32 cast
+        p = q_ref[:].astype(jnp.int32).reshape(blocks, QK // 2, tn)
+        lo = ((p & 0xF) - 8).astype(jnp.float32)
+        hi = (((p >> 4) & 0xF) - 8).astype(jnp.float32)
+        q = jnp.concatenate([lo, hi], axis=1)
     w = (q * s[:, None, :]).reshape(tk, tn).astype(jnp.bfloat16)
     o_ref[:] += jnp.dot(
         x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
