@@ -1,0 +1,92 @@
+"""Multi-host serving primitives (jax.distributed / GSPMD lockstep).
+
+The reference is strictly single-process (SURVEY.md §2.3: no NCCL/MPI,
+transports are Go channels + HTTP). The TPU-native scale-out model is
+SPMD lockstep: every host runs the SAME program over globally-sharded
+arrays; XLA routes collectives over ICI/DCN. What that demands from the
+serving layer is *input agreement* — every process must feed the jitted
+step identical host inputs in identical order.
+
+These helpers provide that agreement:
+
+  * is_primary()        — process 0 owns the HTTP frontend
+  * broadcast_pytree(x) — primary -> all processes, via the tree's
+    serialized bytes riding an all-reduce (multihost_utils)
+  * agree(submissions)  — the per-engine-tick admission broadcast: the
+    primary's queued (job_id, prompt, gen-overrides) list becomes every
+    process's queue, so all engines admit the same jobs into the same
+    slots on the same tick.
+
+serve loop sketch (single-controller alternative: pathways/proxy):
+
+    primary:   jobs arrive over HTTP -> queue
+    all procs: subs = agree(queue_drain())   # identical everywhere
+               engine.submit(*s) for s in subs
+               engine.step()                 # same jitted call, same order
+
+Token sampling stays deterministic across processes because every
+engine seeds slot RNGs from the job's seed (engine._admit), and jobs
+with seed=-1 get a seed assigned by the PRIMARY before broadcast
+(GenerateConfig.seed is resolved in agree()) — never from local time.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def is_primary() -> bool:
+    import jax
+
+    return jax.process_index() == 0
+
+
+def process_count() -> int:
+    import jax
+
+    return jax.process_count()
+
+
+def broadcast_pytree(obj, is_source: bool | None = None):
+    """Broadcast a JSON-serializable object from process 0 to all.
+
+    Uses multihost_utils.broadcast_one_to_all over a fixed-size uint8
+    buffer (two rounds: length, then payload). Single-process: identity.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return obj
+    from jax.experimental import multihost_utils
+
+    if is_source is None:
+        is_source = is_primary()
+    payload = np.frombuffer(
+        json.dumps(obj).encode() if is_source else b"", dtype=np.uint8
+    )
+    n = multihost_utils.broadcast_one_to_all(
+        np.asarray([payload.size], np.int64), is_source=is_source
+    )
+    buf = np.zeros(int(n[0]), np.uint8)
+    if is_source:
+        buf[:] = payload
+    buf = multihost_utils.broadcast_one_to_all(buf, is_source=is_source)
+    return json.loads(bytes(buf).decode())
+
+
+def agree(submissions: list[dict]) -> list[dict]:
+    """Broadcast the primary's pending submissions to every process.
+
+    Each submission is {"id", "prompt", "gen": {overrides}}. The primary
+    resolves seed=-1 to a concrete value here so all processes admit
+    byte-identical jobs (engine seeds slot RNGs from gen.seed).
+    """
+    if is_primary():
+        for s in submissions:
+            gen = s.setdefault("gen", {})
+            if gen.get("seed", -1) < 0:
+                gen["seed"] = time.time_ns() % (2**31)
+    return broadcast_pytree(submissions if is_primary() else None)
