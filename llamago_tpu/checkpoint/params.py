@@ -259,7 +259,7 @@ def random_quantized_parameters(
         rows = k if bits == 8 else k // 2
         q = (pool[: rows * n] ^ salt).reshape(rows, n)
         body = {"q8": q.astype(jnp.int8)} if bits == 8 else {"q4": q}
-        return {**body, "s": jnp.full((k // QK, n), 0.01, jnp.float32)}
+        return {**body, "s": jnp.full((k // QK, n), 0.01, jnp.bfloat16)}
 
     def qleaf(key, shape):
         del key

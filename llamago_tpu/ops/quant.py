@@ -51,18 +51,26 @@ def quantize(w: jnp.ndarray, bits: int = 8) -> dict:
     blocks = k // QK
     assert k % QK == 0, f"in-dim {k} not divisible by block size {QK}"
     xb = w.astype(jnp.float32).reshape(*lead, blocks, QK, n)
+    # Scales are stored bf16 (Mosaic has no f16 type) and the rounding is
+    # scale-aware: d is rounded FIRST and q is computed against the
+    # rounded value, so the per-element error stays <= d/2 of the stored
+    # scale — no extra error from the narrow scale dtype. (File-ingested
+    # Q8_0/Q4_0 keep their exact f16-derived f32 scales; the kernel
+    # accepts either dtype.)
     if bits == 8:
         absmax = jnp.max(jnp.abs(xb), axis=-2)  # [..., blocks, n]
-        d = absmax / 127.0
-        inv = jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 0.0)
+        d = (absmax / 127.0).astype(jnp.bfloat16)
+        df = d.astype(jnp.float32)
+        inv = jnp.where(df > 0, 1.0 / jnp.where(df > 0, df, 1.0), 0.0)
         q = jnp.clip(jnp.round(xb * inv[..., None, :]), -127, 127).astype(jnp.int8)
         return {"q8": q.reshape(*lead, k, n), "s": d}
     if bits == 4:
         # ggml Q4_0 sign trick: scale by the SIGNED extreme / -8
         idx = jnp.argmax(jnp.abs(xb), axis=-2, keepdims=True)
         signed_max = jnp.take_along_axis(xb, idx, axis=-2)[..., 0, :]
-        d = signed_max / -8.0
-        inv = jnp.where(d != 0, 1.0 / jnp.where(d != 0, d, 1.0), 0.0)
+        d = (signed_max / -8.0).astype(jnp.bfloat16)
+        df = d.astype(jnp.float32)
+        inv = jnp.where(df != 0, 1.0 / jnp.where(df != 0, df, 1.0), 0.0)
         q = jnp.clip(jnp.round(xb * inv[..., None, :]) + 8, 0, 15).astype(jnp.uint8)
         # Block-local packing: within each 32-row block, byte j holds rows
         # j (lo nibble) and j+16 (hi nibble) — unpacking is two contiguous
