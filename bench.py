@@ -29,6 +29,12 @@ REFERENCE_7B_FP32_CPU_TOKS = 1.5  # documented estimate, see module docstring
 
 def main() -> None:
     import jax
+
+    if jax.default_backend() == "tpu":
+        # persistent compile cache: bench reruns skip the remote-compile
+        # round trips (init varied 16s..205s without it)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/llamago_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from llamago_tpu.checkpoint.params import random_parameters, unstack_layer_params

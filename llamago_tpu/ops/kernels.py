@@ -86,11 +86,15 @@ def _dequant_mm_kernel(x_ref, q_ref, s_ref, o_ref, *, bits: int, tk: int, tn: in
         o_ref[:] = jnp.zeros_like(o_ref)
 
     blocks = tk // QK
+    # Dequant arithmetic in f32: the VPU is natively f32, so bf16
+    # elementwise math costs extra pack/unpack conversions (measured 20%
+    # slower end-to-end). Scales are STORED bf16 (half the HBM traffic)
+    # and widened on arrival.
     s = s_ref[:].astype(jnp.float32)  # [blocks, TN]
     if bits == 8:
         q = q_ref[:].astype(jnp.float32).reshape(blocks, QK, tn)
     else:
-        # all unpack arithmetic in int32: Mosaic has no uint8 vector
+        # unpack arithmetic in int32: Mosaic has no uint8 vector
         # shift/subtract and no direct uint8->f32 cast
         p = q_ref[:].astype(jnp.int32).reshape(blocks, QK // 2, tn)
         lo = ((p & 0xF) - 8).astype(jnp.float32)
