@@ -90,30 +90,66 @@ def main() -> None:
     tok = jnp.argmax(logits, -1).astype(jnp.int32)
     pos = jnp.full((batch,), prompt_len, jnp.int32)
 
-    # warmup chunk — MUST use the exact steady-state arg structure
-    # (state=None vs state=SamplerState are different pytrees -> retrace)
-    from llamago_tpu.ops.sampling import SamplerState
+    speculative = os.environ.get("BENCH_SPEC", "0") == "1"
+    if speculative:
+        # prompt-lookup speculative decode (runtime/speculative.py):
+        # lossless greedy; tokens/s counts EMITTED tokens. NOTE favorable
+        # case: random-weight greedy output is repetitive, so acceptance
+        # is high — this measures the mechanism's ceiling, not wikitext.
+        from llamago_tpu.runtime.speculative import speculative_decode_chunk
 
-    st = SamplerState.create(batch, 1, config.vocab_size)
-    rngs = jax.vmap(jax.random.PRNGKey)(jnp.zeros(batch, jnp.int32))
-    t0 = time.time()
-    toks, cache, pos, st, rngs = decode_chunk(
-        params, tok, cache, pos, config, chunk, rngs=rngs, state=st
-    )
-    sync(toks)
-    warmup_s = time.time() - t0
+        draft_len = int(os.environ.get("BENCH_DRAFT", "7"))
+        hist = jnp.zeros((batch, ctx), jnp.int32)
+        hist = hist.at[:, :prompt_len].set(prompt)
+        hist = jax.vmap(lambda h, t: h.at[prompt_len].set(t))(hist, tok)
+        hlen = jnp.full((batch,), prompt_len + 1, jnp.int32)
 
-    # steady-state measurement
-    produced = 0
-    t0 = time.time()
-    while produced < n_tokens:
-        toks, cache, pos, st, rngs = decode_chunk(
-            params, toks[:, -1], cache, pos, config, chunk, rngs=rngs, state=st
+        t0 = time.time()
+        toks, counts, cache, pos, hist, hlen = speculative_decode_chunk(
+            params, tok, cache, pos, hist, hlen, config,
+            n_steps=chunk, draft_len=draft_len,
         )
-        produced += chunk * batch
-    sync(toks)
-    dt = time.time() - t0
-    toks_per_s = produced / dt
+        sync(toks)
+        warmup_s = time.time() - t0
+
+        produced = 0
+        last = jax.vmap(lambda t, n: t[-1, n])(toks, counts[:, -1] - 1)
+        t0 = time.time()
+        while produced < n_tokens and int(pos.max()) + chunk * (draft_len + 1) < ctx:
+            toks, counts, cache, pos, hist, hlen = speculative_decode_chunk(
+                params, last, cache, pos, hist, hlen, config,
+                n_steps=chunk, draft_len=draft_len,
+            )
+            last = jax.vmap(lambda t, n: t[-1, n])(toks, counts[:, -1] - 1)
+            produced += int(np.asarray(counts).sum())
+        sync(toks)
+        dt = time.time() - t0
+        toks_per_s = produced / dt
+    else:
+        # warmup chunk — MUST use the exact steady-state arg structure
+        # (state=None vs state=SamplerState are different pytrees -> retrace)
+        from llamago_tpu.ops.sampling import SamplerState
+
+        st = SamplerState.create(batch, 1, config.vocab_size)
+        rngs = jax.vmap(jax.random.PRNGKey)(jnp.zeros(batch, jnp.int32))
+        t0 = time.time()
+        toks, cache, pos, st, rngs = decode_chunk(
+            params, tok, cache, pos, config, chunk, rngs=rngs, state=st
+        )
+        sync(toks)
+        warmup_s = time.time() - t0
+
+        # steady-state measurement
+        produced = 0
+        t0 = time.time()
+        while produced < n_tokens:
+            toks, cache, pos, st, rngs = decode_chunk(
+                params, toks[:, -1], cache, pos, config, chunk, rngs=rngs, state=st
+            )
+            produced += chunk * batch
+        sync(toks)
+        dt = time.time() - t0
+        toks_per_s = produced / dt
 
     sys.stderr.write(
         f"[bench] backend={jax.default_backend()} model={model_name} "
@@ -122,7 +158,8 @@ def main() -> None:
         f"decode={produced} toks in {dt:.2f}s\n"
     )
     print(json.dumps({
-        "metric": f"decode_tokens_per_sec_{model_name}_{weight_dtype}_greedy_b{batch}",
+        "metric": (f"decode_tokens_per_sec_{model_name}_{weight_dtype}_greedy_b{batch}"
+                   + ("_spec" if speculative else "")),
         "value": round(toks_per_s, 2),
         "unit": "tokens/s",
         "vs_baseline": round(toks_per_s / REFERENCE_7B_FP32_CPU_TOKS, 2),

@@ -86,6 +86,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk", type=int, default=0,
                    help="on-device decode chunk size (tokens per host sync) "
                         "[0 = auto: 16 on TPU, 1 elsewhere]")
+    p.add_argument("--spec", action="store_true",
+                   help="prompt-lookup speculative decoding for greedy "
+                        "(temp 0) requests — lossless, often 2x+ tokens/s")
+    p.add_argument("--draft", type=int, default=7,
+                   help="speculative draft length [7]")
     # multi-host (jax.distributed): every host runs the same command; on
     # TPU pods the topology auto-discovers, so just pass --multihost.
     p.add_argument("--multihost", action="store_true",
@@ -194,7 +199,8 @@ def _load_engine(args):
             weights=config.weight_dtype, tp=tp)
     chunk = args.chunk or (16 if jax.default_backend() == "tpu" else 1)
     engine = Engine(config, params, ckpt.vocab, slots=args.pods,
-                    decode_chunk_size=chunk)
+                    decode_chunk_size=chunk, speculative=args.spec,
+                    draft_len=args.draft)
     return engine, ckpt, config
 
 

@@ -101,6 +101,8 @@ class Engine:
         buckets: tuple[int, ...] = DEFAULT_BUCKETS,
         stream: bool = True,
         decode_chunk_size: int = 1,
+        speculative: bool = False,
+        draft_len: int = 7,
     ):
         self.config = config
         self.params = params
@@ -121,6 +123,10 @@ class Engine:
         # chunk instead of per token — see runtime/decode_loop.py); output
         # streams at chunk granularity.
         self.decode_chunk_size = decode_chunk_size
+        # prompt-lookup speculative decoding for all-greedy batches
+        # (lossless; see runtime/speculative.py)
+        self.speculative = speculative
+        self.draft_len = draft_len
         self._queue: list[Job] = []
         self._lock = threading.Lock()
         self._stop = threading.Event()
@@ -302,6 +308,11 @@ class Engine:
             if active[i]:
                 self._maybe_context_swap(i)
 
+        n_spec = self._spec_steps(active, temp)
+        if n_spec > 0:
+            self._decode_speculative(active, n_spec)
+            return True
+
         n_chunk = self._chunkable(active)
         if n_chunk > 1:
             self._decode_chunked(active, n_chunk, temp, top_k, top_p, rp)
@@ -323,6 +334,95 @@ class Engine:
                 slot.job.eval_ms.append(eval_dt)
                 slot.pos += 1
         return True
+
+    # ------------------------------------------------- speculative decode
+
+    def _spec_steps(self, active: np.ndarray, temp: np.ndarray) -> int:
+        """Speculative steps to run now: engages only for all-greedy
+        batches (temp<=0 means pure argmax in ops/sampling.py, so
+        prompt-lookup greedy is exactly lossless), with full context
+        headroom for the worst case and no queued admissions waiting."""
+        if not self.speculative:
+            return 0
+        if any(active[i] and temp[i] > 0 for i in range(self.n_slots)):
+            return 0
+        with self._lock:
+            if self._queue:
+                return 0
+        n = max(1, self.decode_chunk_size)
+        per_step = self.draft_len + 1
+        for i, slot in enumerate(self.slots):
+            if not active[i] or slot.job is None:
+                continue
+            ctx = min(slot.job.gen.ctx_size, self.config.max_seq_len)
+            headroom = ctx - slot.pos - 2
+            n = min(n, slot.remaining, max(headroom // per_step, 0))
+        return max(n, 0)
+
+    def _decode_speculative(self, active: np.ndarray, n_steps: int) -> None:
+        from llamago_tpu.runtime.speculative import speculative_decode_chunk
+
+        h = self.config.max_seq_len
+        hist = np.zeros((self.n_slots, h), np.int32)
+        hlen = np.ones(self.n_slots, np.int32)
+        feed = np.zeros(self.n_slots, np.int32)
+        pos = np.zeros(self.n_slots, np.int32)
+        for i, slot in enumerate(self.slots):
+            if active[i]:
+                hs = slot.history[-h:]
+                hist[i, : len(hs)] = hs
+                hlen[i] = len(hs)
+                feed[i] = slot.history[-1]
+                pos[i] = slot.pos
+        t0 = time.time()
+        toks, counts, self.cache, pos_out, _, _ = speculative_decode_chunk(
+            self.params, jnp.asarray(feed), self.cache, jnp.asarray(pos),
+            jnp.asarray(hist), jnp.asarray(hlen), self.config,
+            n_steps=n_steps, draft_len=self.draft_len,
+        )
+        # restore the pending-logits invariant: one forward of each slot's
+        # last emitted token (mirrors _decode_chunked's final forward)
+        toks_h = np.asarray(toks)
+        counts_h = np.asarray(counts)
+        last = np.zeros((self.n_slots, 1), np.int32)
+        for i in range(self.n_slots):
+            if active[i]:
+                last[i, 0] = toks_h[i, -1, counts_h[i, -1] - 1]
+        self.logits, self.cache = forward(
+            self.params, jnp.asarray(last), self.cache, pos_out, self.config
+        )
+        dt_ms = (time.time() - t0) * 1000.0
+
+        for i, slot in enumerate(self.slots):
+            if not active[i] or slot.job is None:
+                continue
+            job = slot.job
+            emitted: list[int] = []
+            for s in range(n_steps):
+                emitted.extend(int(t) for t in toks_h[i, s, : counts_h[i, s]])
+            kept = emitted
+            if job.gen.stop_at_eos and EOS_TOKEN in emitted:
+                kept = emitted[: emitted.index(EOS_TOKEN) + 1]
+            kept = kept[: slot.remaining]
+            job.output_tokens.extend(kept)
+            slot.history.extend(kept)
+            slot.remaining -= len(kept)
+            # history[-1] is in cache (the final bonus via the extra
+            # forward; earlier tokens via the verify writes) and
+            # self.logits[i] is its successor distribution — the engine's
+            # steady-state invariant. Truncation (EOS / budget) always
+            # finishes the job below, so the stale logits never get used.
+            slot.pos = int(pos_out[i]) + 1
+            if kept:
+                job.eval_ms.extend([dt_ms / len(kept)] * len(kept))
+            job.output = _render_output(self.vocab, job)
+            done = slot.remaining <= 0 or (
+                job.gen.stop_at_eos and kept and kept[-1] == EOS_TOKEN
+            )
+            if done:
+                job.status = JobStatus.FINISHED
+                job.finished = time.time()
+                slot.job = None
 
     # ----------------------------------------------------- chunked decode
 
