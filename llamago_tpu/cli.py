@@ -179,10 +179,14 @@ def _load_engine(args):
     dp = max(args.dp, 1)
     tp = args.tp if args.tp > 0 else n_dev // dp
     if tp * dp > 1:
+        from llamago_tpu.ops import kernels
         from llamago_tpu.parallel import make_mesh, param_shardings
 
         mesh = make_mesh(tp=tp, dp=dp)
         shardings = param_shardings(config, mesh)
+        # fused Pallas kernels are single-chip programs; under GSPMD the
+        # jnp paths partition cleanly, the custom calls do not
+        kernels.DISABLE_FUSED = True
     params = load_parameters(config, ckpt.tensors, shardings=shardings)
     if tp * dp <= 1:
         # fused QKV/W13 projections: fewer kernel dispatches per layer
