@@ -301,14 +301,18 @@ def _restack_layer_tuple(per_layer):
 
 
 def _concat_weights(ws, axis=-1):
-    """Concatenate dense or quantized leaves along the output dim."""
+    """Concatenate dense or quantized leaves along the output dim,
+    dropping source references as they are consumed."""
     if isinstance(ws[0], dict):
         qk = "q8" if "q8" in ws[0] else "q4"
-        return {
-            qk: jnp.concatenate([w[qk] for w in ws], axis=axis),
-            "s": jnp.concatenate([w["s"] for w in ws], axis=axis),
-        }
-    return jnp.concatenate(ws, axis=axis)
+        qs = [w.pop(qk) for w in ws]
+        ss = [w.pop("s") for w in ws]
+        q = jnp.concatenate(qs, axis=axis)
+        del qs
+        s = jnp.concatenate(ss, axis=axis)
+        del ss
+        return {qk: q, "s": s}
+    return jnp.concatenate(list(ws), axis=axis)
 
 
 def fuse_layer_weights(params: Params) -> Params:
@@ -317,13 +321,17 @@ def fuse_layer_weights(params: Params) -> Params:
     larger, better-pipelined weight reads). The forward pass splits the
     outputs (models/llama.py). Not applied under tensor parallelism:
     concatenated outputs would shard across segment boundaries.
+
+    CONSUMES the input: source leaves are popped as they are fused so
+    the old device buffers free immediately — holding both trees would
+    double peak HBM and OOM a 13B int8 model on one 16 GB chip.
     """
 
     def fuse_one(lp: dict) -> dict:
         out = {k: v for k, v in lp.items()
                if k not in ("wq", "wk", "wv", "w1", "w3")}
-        out["wqkv"] = _concat_weights([lp["wq"], lp["wk"], lp["wv"]])
-        out["w13"] = _concat_weights([lp["w1"], lp["w3"]])
+        out["wqkv"] = _concat_weights([lp.pop("wq"), lp.pop("wk"), lp.pop("wv")])
+        out["w13"] = _concat_weights([lp.pop("w1"), lp.pop("w3")])
         return out
 
     layers = params["layers"]
