@@ -238,7 +238,10 @@ def run(args) -> int:
             gen,
             model_name=os.path.basename(args.model),
         )
+        warm_s = engine.warmup()
         if not args.silent:
+            log("info", f"engine warm in {warm_s:.1f}s "
+                        "(prefill buckets + decode step compiled)")
             log("info", f"listening on http://{args.host}:{args.port}",
                 pods=args.pods)
         try:

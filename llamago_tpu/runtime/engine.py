@@ -63,6 +63,7 @@ class Job:
     started: float = 0.0
     finished: float = 0.0
     prompt_tokens: int = 0
+    reused_tokens: int = 0  # prompt prefix served from cached KV
     output_tokens: list[int] = field(default_factory=list)
     output: str = ""
     error: str = ""
@@ -83,10 +84,20 @@ class _Slot:
     pos: int = 0                      # next cache position to write
     history: list[int] = field(default_factory=list)  # prompt + generated
     remaining: int = 0
+    # first cache position that stopped mirroring `history` (set by a
+    # context swap); None = cache[p] == history[p] for all p < pos,
+    # which is what per-slot prefix caching relies on
+    swap_point: int | None = None
 
     @property
     def free(self) -> bool:
         return self.job is None
+
+    @property
+    def mapped(self) -> int:
+        """Leading cache positions that mirror history (reusable KV)."""
+        n = min(self.pos, len(self.history))
+        return n if self.swap_point is None else min(n, self.swap_point)
 
 
 class Engine:
@@ -167,9 +178,22 @@ class Engine:
 
         job.status = JobStatus.PROCESSING
         job.prompt_tokens = len(ids)
+
+        # per-slot prefix caching: if the new prompt shares a prefix with
+        # the slot's previous contents (e.g. a chat continuation re-sending
+        # prompt+reply), its KV is already in this slot's cache rows —
+        # prefill only the unseen suffix. (Extension beyond the reference,
+        # flagged as such in SURVEY.md §5 checkpoint/resume row.)
+        reuse = 0
+        old = slot.history[: slot.mapped]
+        while reuse < len(old) and reuse < len(ids) - 1 and old[reuse] == ids[reuse]:
+            reuse += 1
+        job.reused_tokens = reuse
+
         slot.job = job
         slot.history = list(ids)
         slot.remaining = gen.max_tokens
+        slot.swap_point = None
         seed = gen.seed if gen.seed >= 0 else time.time_ns() % (2**31)
         self.rngs = self.rngs.at[slot_idx].set(jax.random.PRNGKey(seed))
 
@@ -180,7 +204,7 @@ class Engine:
         self.sampler_state = reset_slots(self.sampler_state, jnp.asarray(mask))
         self._push_slot_tokens(slot_idx, ids)
 
-        self._prefill(slot_idx, ids, write_pos=0)
+        self._prefill(slot_idx, ids[reuse:], write_pos=reuse)
         slot.pos = len(ids)
         job.ttft_ms = (time.time() - job.started) * 1000.0
 
@@ -233,6 +257,9 @@ class Engine:
         if refeed:
             self._prefill(slot_idx, refeed, write_pos=keep)
         slot.pos = keep + len(refeed)
+        # cache rows >= keep no longer mirror history positions
+        slot.swap_point = keep if slot.swap_point is None else min(
+            slot.swap_point, keep)
 
     # ------------------------------------------------------------- step
 
@@ -500,6 +527,56 @@ class Engine:
                 job.status = JobStatus.FINISHED
                 job.finished = time.time()
                 slot.job = None
+
+    # ----------------------------------------------------------- warmup
+
+    def warmup(self, max_bucket: int | None = None) -> float:
+        """Pre-compile the serving-critical XLA programs (decode step,
+        sampler, prefill buckets up to max_bucket) so the first request's
+        TTFT doesn't pay tens of seconds of compilation. Returns seconds
+        spent. The reference has no analogue — its graph is rebuilt and
+        'compiled' per step by construction (llama.go:232)."""
+        t0 = time.time()
+        limit = max_bucket or self.buckets[-1]
+        # prefill buckets (slot 0, then wipe)
+        for b in self.buckets:
+            if b > limit:
+                break
+            ids = [1] * min(b, self.config.max_seq_len - 2)
+            self._prefill(0, ids, write_pos=0)
+        # one sampler + one decode step with the steady-state structures
+        temp = np.full(self.n_slots, 1.0, np.float32)
+        ones_i = np.ones(self.n_slots, np.int32)
+        onesf = np.ones(self.n_slots, np.float32)
+        split = jax.vmap(lambda k: jax.random.split(k, 2))(self.rngs)
+        _ = sample(split[:, 1], self.logits, self.sampler_state,
+                   jnp.asarray(temp), jnp.asarray(ones_i),
+                   jnp.asarray(onesf), jnp.asarray(onesf))
+        feed = np.zeros((self.n_slots, 1), np.int32)
+        self.logits, self.cache = forward(
+            self.params, jnp.asarray(feed), self.cache,
+            jnp.zeros(self.n_slots, jnp.int32), self.config,
+        )
+        if self.decode_chunk_size > 1:
+            from llamago_tpu.runtime.decode_loop import decode_chunk
+
+            toks, self.cache, _, self.sampler_state, _, self.logits = decode_chunk(
+                self.params, jnp.zeros(self.n_slots, jnp.int32), self.cache,
+                jnp.zeros(self.n_slots, jnp.int32), self.config,
+                self.decode_chunk_size, rngs=self.rngs,
+                state=self.sampler_state,
+                temp=jnp.asarray(temp), top_k=jnp.asarray(ones_i),
+                top_p=jnp.asarray(onesf), repeat_penalty=jnp.asarray(onesf),
+                greedy=False, return_final_logits=True,
+            )
+        jax.block_until_ready(self.logits)
+        # wipe warmup state
+        self.cache = KVCache.create(self.config, batch=self.n_slots)
+        self.sampler_state = reset_slots(
+            self.sampler_state, jnp.ones(self.n_slots, bool)
+        )
+        self.logits = jnp.zeros_like(self.logits)
+        return time.time() - t0
 
     # --------------------------------------------------------- lifecycle
 

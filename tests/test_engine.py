@@ -174,3 +174,55 @@ def test_job_deadline_expires(engine_setup):
     eng._expire_deadlines()
     assert job.status == JobStatus.FAILED
     assert "deadline" in job.error
+
+
+def test_warmup_compiles_and_leaves_clean_state(engine_setup):
+    eng_mod = Engine  # noqa: F841
+    config, params, vocab = engine_setup
+    eng = Engine(config, params, vocab, slots=2, buckets=(16, 32, 64),
+                 decode_chunk_size=2)
+    secs = eng.warmup()
+    assert secs > 0
+    # engine still produces the same deterministic output after warmup
+    a = eng.generate("hello world", GREEDY)
+    fresh = Engine(config, params, vocab, slots=2, buckets=(16, 32, 64))
+    b = fresh.generate("hello world", GREEDY)
+    assert a.output_tokens == b.output_tokens
+
+
+def test_prefix_cache_reuses_common_prompt(engine_setup):
+    """A chat-style continuation (prompt = previous prompt + output + more)
+    reuses the slot's cached KV and produces identical tokens to a cold
+    engine."""
+    config, params, vocab = engine_setup
+    eng = Engine(config, params, vocab, slots=1, buckets=(16, 32, 64))
+    first = eng.generate("hello world", GREEDY)
+    assert first.reused_tokens == 0
+
+    # same prompt again -> all but the last prompt token reused
+    again = eng.generate("hello world", GREEDY)
+    assert again.reused_tokens == again.prompt_tokens - 1
+    assert again.output_tokens == first.output_tokens
+
+    # a different prompt must not reuse beyond the shared prefix
+    cold = Engine(config, params, vocab, slots=1, buckets=(16, 32, 64))
+    a = eng.generate("hello hello", GREEDY)
+    b = cold.generate("hello hello", GREEDY)
+    assert a.output_tokens == b.output_tokens
+
+
+def test_prefix_cache_disabled_after_context_swap(engine_setup):
+    """After a swap the cache rows no longer mirror history positions —
+    reuse must be capped at the swap point."""
+    config, params, vocab = engine_setup
+    gen = GenerateConfig(max_tokens=80, ctx_size=32, temp=0.0)
+    eng = Engine(config, params, vocab, slots=1, buckets=(16, 32))
+    job = eng.generate("hello world", gen)
+    assert job.status == JobStatus.FINISHED
+    slot = eng.slots[0]
+    assert slot.swap_point is not None
+    nxt = eng.generate("hello world", gen)
+    assert nxt.reused_tokens <= slot.swap_point if slot.swap_point else True
+    # and outputs still match a cold engine
+    cold = Engine(config, params, vocab, slots=1, buckets=(16, 32))
+    assert nxt.output_tokens == cold.generate("hello world", gen).output_tokens
