@@ -41,11 +41,12 @@ ALIGNMENT = 32  # reference: pkg/llama/llama.go:925-933
 DTYPE_F32 = 0
 DTYPE_F16 = 1
 DTYPE_Q4_0 = 2
+DTYPE_Q4_1 = 3
 DTYPE_Q8_0 = 8
 _DTYPE_TO_NP = {DTYPE_F32: np.float32, DTYPE_F16: np.float16}
 _NP_TO_DTYPE = {np.dtype(np.float32): DTYPE_F32, np.dtype(np.float16): DTYPE_F16}
-_QUANT_KINDS = {DTYPE_Q4_0: "q4_0", DTYPE_Q8_0: "q8_0"}
-_KIND_TO_DTYPE = {"q4_0": DTYPE_Q4_0, "q8_0": DTYPE_Q8_0}
+_QUANT_KINDS = {DTYPE_Q4_0: "q4_0", DTYPE_Q4_1: "q4_1", DTYPE_Q8_0: "q8_0"}
+_KIND_TO_DTYPE = {"q4_0": DTYPE_Q4_0, "q4_1": DTYPE_Q4_1, "q8_0": DTYPE_Q8_0}
 
 
 @dataclass

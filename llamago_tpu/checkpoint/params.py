@@ -54,9 +54,13 @@ def _qt_to_host_leaf(qt) -> dict:
     (transpose of blocks; see checkpoint/quant_file.py)."""
     from llamago_tpu.checkpoint.quant_file import split_blocks
 
-    q, d = split_blocks(qt)
+    parts = split_blocks(qt)
+    q, d = parts[0], parts[1]
     key = "q8" if qt.kind == "q8_0" else "q4"
-    return {key: np.ascontiguousarray(q.T), "s": np.ascontiguousarray(d.T)}
+    leaf = {key: np.ascontiguousarray(q.T), "s": np.ascontiguousarray(d.T)}
+    if qt.kind == "q4_1":
+        leaf["m"] = np.ascontiguousarray(parts[2].T)
+    return leaf
 
 
 def _stack_layers(tensors: dict[str, np.ndarray], n_layers: int, key: str):

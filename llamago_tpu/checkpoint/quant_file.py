@@ -10,8 +10,11 @@ bit layout so files interoperate both ways:
   Q4_0 block (18 bytes / 32 elems): f16 d, uint8 qs[16];
       qs[j] holds elem j (lo nibble) and elem j+16 (hi nibble),
       x = (nibble - 8) * d,  d = signed_absmax / -8
+  Q4_1 block (20 bytes / 32 elems): f16 d, f16 m, uint8 qs[16];
+      x = nibble * d + m,  d = (max - min) / 15,  m = min
 
-File dtype codes: Q4_0 = 2 (reference: scripts/convert-pth-to-ggml.py:29-35),
+File dtype codes: Q4_0 = 2, Q4_1 = 3 (reference:
+scripts/convert-pth-to-ggml.py:29-35 WTYPES + pkg/ml/ml.go:89-94),
 Q8_0 = 8 (ggml type id).
 
 Blocks run along the file's contiguous dim (in_features). The device
@@ -32,9 +35,14 @@ import numpy as np
 QK = 32
 Q8_BLOCK_BYTES = 2 + QK  # f16 scale + 32 int8
 Q4_BLOCK_BYTES = 2 + QK // 2
+Q41_BLOCK_BYTES = 4 + QK // 2  # f16 d + f16 m + 16 nibble bytes
 
 DTYPE_Q4_0 = 2  # reference: convert-pth-to-ggml.py WTYPES
+DTYPE_Q4_1 = 3  # reference: pkg/ml/ml.go:90
 DTYPE_Q8_0 = 8  # ggml type id
+
+_BLOCK_BYTES = {"q8_0": Q8_BLOCK_BYTES, "q4_0": Q4_BLOCK_BYTES,
+                "q4_1": Q41_BLOCK_BYTES}
 
 
 @dataclass
@@ -52,8 +60,7 @@ class QuantTensor:
 
 
 def row_bytes(kind: str, in_dim: int) -> int:
-    nb = in_dim // QK
-    return nb * (Q8_BLOCK_BYTES if kind == "q8_0" else Q4_BLOCK_BYTES)
+    return (in_dim // QK) * _BLOCK_BYTES[kind]
 
 
 def quantize_rows_q8_0(x: np.ndarray) -> np.ndarray:
@@ -87,35 +94,63 @@ def quantize_rows_q4_0(x: np.ndarray) -> np.ndarray:
     return blocks.reshape(out, nb * Q4_BLOCK_BYTES)
 
 
-def split_blocks(qt: QuantTensor) -> tuple[np.ndarray, np.ndarray]:
-    """raw blocks -> (q, d): q int8 [out, in] (q8) or uint8 [out, in/2] (q4),
-    d float32 [out, nb]."""
+def quantize_rows_q4_1(x: np.ndarray) -> np.ndarray:
+    """Q4_1 affine blocks: x ~ nibble*d + m (numpy reference; no native
+    path — the reference defines the dtype, ml.go:90, but never computes
+    it either)."""
+    out, k = x.shape
+    nb = k // QK
+    xb = np.ascontiguousarray(x, np.float32).reshape(out, nb, QK)
+    mn = xb.min(axis=-1)
+    mx = xb.max(axis=-1)
+    d = ((mx - mn) / 15.0).astype(np.float32)
+    inv = np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 0.0)
+    q = np.clip(np.rint((xb - mn[..., None]) * inv[..., None]), 0, 15).astype(np.uint8)
+    packed = q[:, :, :16] | (q[:, :, 16:] << 4)
+    blocks = np.empty((out, nb, Q41_BLOCK_BYTES), np.uint8)
+    blocks[:, :, :2] = d.astype(np.float16)[..., None].view(np.uint8)
+    blocks[:, :, 2:4] = mn.astype(np.float16)[..., None].view(np.uint8)
+    blocks[:, :, 4:] = packed
+    return blocks.reshape(out, nb * Q41_BLOCK_BYTES)
+
+
+def split_blocks(qt: QuantTensor):
+    """raw blocks -> (q, d[, m]): q int8 [out, in] (q8) or uint8
+    [out, in/2] (q4), d float32 [out, nb]; Q4_1 also returns m (mins)."""
     out, k = qt.shape
     nb = k // QK
-    bb = Q8_BLOCK_BYTES if qt.kind == "q8_0" else Q4_BLOCK_BYTES
+    bb = _BLOCK_BYTES[qt.kind]
+    hdr = 4 if qt.kind == "q4_1" else 2
     blocks = qt.raw.reshape(out, nb, bb)
     d = np.ascontiguousarray(blocks[:, :, :2]).view(np.float16).astype(np.float32)
     d = d.reshape(out, nb)
-    qs = np.ascontiguousarray(blocks[:, :, 2:])
+    qs = np.ascontiguousarray(blocks[:, :, hdr:])
     if qt.kind == "q8_0":
         return qs.view(np.int8).reshape(out, k), d
+    if qt.kind == "q4_1":
+        m = np.ascontiguousarray(blocks[:, :, 2:4]).view(np.float16)
+        return qs.reshape(out, k // 2), d, m.astype(np.float32).reshape(out, nb)
     return qs.reshape(out, k // 2), d
 
 
 def dequantize_rows(qt: QuantTensor) -> np.ndarray:
     """Numpy reference dequantization -> f32 [out, in]."""
-    q, d = split_blocks(qt)
+    parts = split_blocks(qt)
+    q, d = parts[0], parts[1]
     out, k = qt.shape
     nb = k // QK
     if qt.kind == "q8_0":
-        qf = q.astype(np.float32).reshape(out, nb, QK)
-    else:
-        lo = (q & 0xF).astype(np.int8) - 8
-        hi = ((q >> 4) & 0xF).astype(np.int8) - 8
-        qf = np.concatenate(
-            [lo.reshape(out, nb, 16), hi.reshape(out, nb, 16)], axis=-1
-        ).astype(np.float32)
-    return (qf * d[..., None]).reshape(out, k)
+        return (q.astype(np.float32).reshape(out, nb, QK)
+                * d[..., None]).reshape(out, k)
+    lo = (q & 0xF).astype(np.int16)
+    hi = ((q >> 4) & 0xF).astype(np.int16)
+    qf = np.concatenate(
+        [lo.reshape(out, nb, 16), hi.reshape(out, nb, 16)], axis=-1
+    ).astype(np.float32)
+    if qt.kind == "q4_1":
+        m = parts[2]
+        return (qf * d[..., None] + m[..., None]).reshape(out, k)
+    return ((qf - 8.0) * d[..., None]).reshape(out, k)
 
 
 def to_device_leaf(qt: QuantTensor):
@@ -124,9 +159,13 @@ def to_device_leaf(qt: QuantTensor):
     matches, so this is a transpose."""
     import jax.numpy as jnp
 
-    q, d = split_blocks(qt)
+    parts = split_blocks(qt)
+    q, d = parts[0], parts[1]
     key = "q8" if qt.kind == "q8_0" else "q4"
-    return {key: jnp.asarray(q.T), "s": jnp.asarray(d.T)}
+    leaf = {key: jnp.asarray(q.T), "s": jnp.asarray(d.T)}
+    if qt.kind == "q4_1":
+        leaf["m"] = jnp.asarray(parts[2].T)
+    return leaf
 
 
 def quantize_ggjt(in_path: str, out_path: str, kind: str = "q8_0") -> str:
@@ -149,8 +188,8 @@ def quantize_ggjt(in_path: str, out_path: str, kind: str = "q8_0") -> str:
             out[name] = quantize_array(np.asarray(arr, np.float32), kind)
         else:
             out[name] = np.asarray(arr)
-    write_ggjt(out_path, ckpt.config, ckpt.vocab, out,
-               ftype=7 if kind == "q8_0" else 2)
+    ftype = {"q8_0": 7, "q4_0": 2, "q4_1": 3}[kind]  # llama.cpp codes
+    write_ggjt(out_path, ckpt.config, ckpt.vocab, out, ftype=ftype)
     return out_path
 
 
@@ -159,8 +198,10 @@ def quantize_array(x: np.ndarray, kind: str) -> QuantTensor:
     available, numpy fallback)."""
     from llamago_tpu import native
 
-    fn = native.quantize_rows(kind)
-    raw = fn(x) if fn is not None else (
-        quantize_rows_q8_0(x) if kind == "q8_0" else quantize_rows_q4_0(x)
-    )
+    fn = native.quantize_rows(kind)  # C++ path covers q8_0/q4_0
+    if fn is not None:
+        raw = fn(x)
+    else:
+        raw = {"q8_0": quantize_rows_q8_0, "q4_0": quantize_rows_q4_0,
+               "q4_1": quantize_rows_q4_1}[kind](x)
     return QuantTensor(kind=kind, raw=raw, shape=tuple(x.shape))

