@@ -56,8 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pods", type=int, default=1,
                    help="parallel decode slots in server mode [1]")
     p.add_argument("--threads", type=int, default=0,
-                   help="host CPU threads (accepted for parity; TPU compute "
-                        "does not use it)")
+                   help="host CPU threads for the native data path "
+                        "(checkpoint IO / quantization) [0 = all cores]; "
+                        "TPU compute does not use it")
     p.add_argument("--context", type=int, default=1024, help="context size [1024]")
     p.add_argument("--predict", type=int, default=512, help="tokens to predict [512]")
     p.add_argument("--temp", type=float, default=0.5, help="temperature [0.5]")
@@ -109,6 +110,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.threads > 0:
+        # consumed by the native C++ data path (native/__init__.py)
+        os.environ["LLAMAGO_THREADS"] = str(args.threads)
 
     if not args.silent:
         colorize("[magenta]" + LOGO)

@@ -26,6 +26,9 @@ _tried = False
 
 
 def _threads() -> int:
+    env = os.environ.get("LLAMAGO_THREADS")
+    if env and env.isdigit() and int(env) > 0:
+        return int(env)
     return max(1, os.cpu_count() or 1)
 
 

@@ -13,7 +13,7 @@ MXU fed straight from HBM:
     round-trip a dequantized bf16 copy through HBM — 3x the traffic.
 
 Kernels run under `interpret=True` off-TPU so the same code is unit-
-tested on the CPU mesh (tests/test_kernels.py).
+tested on the CPU mesh (tests/test_quant.py, tests/test_attention.py).
 """
 
 from __future__ import annotations
