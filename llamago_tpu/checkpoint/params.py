@@ -259,11 +259,16 @@ def random_quantized_parameters(
 
     @partial(jax.jit, static_argnames=("shape",))
     def qleaf_from_pool(pool, salt, shape):
-        k, n = shape
+        *lead, k, n = shape
         rows = k if bits == 8 else k // 2
-        q = (pool[: rows * n] ^ salt).reshape(rows, n)
+        total = rows * n
+        for l in lead:
+            total *= l
+        reps = (total + pool.shape[0] - 1) // pool.shape[0]
+        src = jnp.tile(pool, reps)[:total] if reps > 1 else pool[:total]
+        q = (src ^ salt).reshape(*lead, rows, n)
         body = {"q8": q.astype(jnp.int8)} if bits == 8 else {"q4": q}
-        return {**body, "s": jnp.full((k // QK, n), 0.01, jnp.bfloat16)}
+        return {**body, "s": jnp.full((*lead, k // QK, n), 0.01, jnp.bfloat16)}
 
     def qleaf(key, shape):
         del key
@@ -286,22 +291,25 @@ def random_quantized_parameters(
         "wq": (d, h * hd), "wk": (d, kv * hd), "wv": (d, kv * hd),
         "wo": (h * hd, d), "w1": (d, f), "w2": (f, d), "w3": (d, f),
     }
-    per_layer = tuple(
-        {k: mat(k, s) for k, s in layer_shapes.items()} for _ in range(layers)
-    )
+    if layered:
+        layer_leaves = tuple(
+            {k: mat(k, s) for k, s in layer_shapes.items()} for _ in range(layers)
+        )
+    else:
+        # stacked leaves generated directly (restacking 32 per-layer
+        # arrays costs minutes of copies/compiles at 7B scale); norm
+        # gains stay ones
+        layer_leaves = {
+            k: (jnp.ones((layers, *s), dtype) if len(s) == 1
+                else mat(k, (layers, *s)))
+            for k, s in layer_shapes.items()
+        }
     return {
         "tok_embeddings": dense(next(key_iter), (v, d)),
         "norm": dense(next(key_iter), (d,)),
         "output": mat("output", (d, v)),
-        "layers": per_layer if layered else _restack_layer_tuple(per_layer),
+        "layers": layer_leaves,
     }
-
-
-def _restack_layer_tuple(per_layer):
-    def stack(*leaves):
-        return jnp.stack(leaves)
-
-    return jax.tree.map(stack, *per_layer)
 
 
 def _concat_weights(ws, axis=-1):

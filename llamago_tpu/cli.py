@@ -169,6 +169,18 @@ def _load_engine(args):
     from llamago_tpu.checkpoint import load_parameters, read_ggjt
     from llamago_tpu.runtime.engine import Engine
 
+    if jax.default_backend() == "tpu":
+        # persistent XLA compile cache: server/CLI restarts skip the
+        # remote-compile round trips (cold 7B compiles measured
+        # 60-200s each through a tunneled TPU; warm loads are seconds)
+        cache_dir = os.environ.get(
+            "LLAMAGO_XLA_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "llamago_tpu", "xla"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     t0 = time.time()
     if not args.silent:
         log("info", f"loading model {args.model} ...")
