@@ -208,13 +208,18 @@ def _load_engine(args):
         kernels.DISABLE_FUSED = True
     params = load_parameters(config, ckpt.tensors, shardings=shardings)
     if tp * dp <= 1:
-        # fused QKV/W13 projections: fewer kernel dispatches per layer
-        # (skipped under TP — concatenated outputs would shard across
-        # segment boundaries). Weights stay layer-stacked for the
-        # engine's scan-over-layers path.
-        from llamago_tpu.checkpoint.params import fuse_layer_weights
+        # single-chip fast path: unstack to per-layer weights (the fused
+        # Pallas kernels read them straight from HBM, and the unrolled
+        # forward compiles far faster than the scan graph) and fuse the
+        # QKV/W13 projections. Under TP the weights stay stacked and
+        # unfused (concatenated outputs would shard across segment
+        # boundaries) and lower through XLA's partitioner.
+        from llamago_tpu.checkpoint.params import (
+            fuse_layer_weights,
+            unstack_layer_params,
+        )
 
-        params = fuse_layer_weights(params)
+        params = fuse_layer_weights(unstack_layer_params(params, config.n_layers))
     jax.block_until_ready(jax.tree.leaves(params)[0])
     if not args.silent:
         log("info", f"model ready in {time.time() - t0:.1f}s",

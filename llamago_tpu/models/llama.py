@@ -211,9 +211,32 @@ def prefill_into_slot(
     writes it back — so admitting a job into a continuously-batched engine
     costs one prompt-sized prefill, not a full-batch one. (The reference's
     equivalent is each pod owning a private context, server.go:110-151.)
+
+    Handles both cache layouts: stacked [L, B, KV, S, hd] (scan path) and
+    layered tuples of [B, KV, S, hd] (unrolled path — the engine default,
+    where per-layer weights feed the fused Pallas kernels directly).
     """
-    l, _, kv, s, hd = cache.k.shape
     zero = jnp.zeros((), slot.dtype)
+    if cache.layered:
+        _, kv, s, hd = cache.k[0].shape
+        start = (slot, zero, zero, zero)
+        sub = KVCache(
+            k=tuple(jax.lax.dynamic_slice(k, start, (1, kv, s, hd))
+                    for k in cache.k),
+            v=tuple(jax.lax.dynamic_slice(v, start, (1, kv, s, hd))
+                    for v in cache.v),
+        )
+        logits, sub = forward_impl(
+            params, tokens, sub, write_pos, config, logit_index=logit_index
+        )
+        return logits[0], KVCache(
+            k=tuple(jax.lax.dynamic_update_slice(k, sk, start)
+                    for k, sk in zip(cache.k, sub.k)),
+            v=tuple(jax.lax.dynamic_update_slice(v, sv, start)
+                    for v, sv in zip(cache.v, sub.v)),
+        )
+
+    l, _, kv, s, hd = cache.k.shape
     start = (zero, slot, zero, zero, zero)
     sub = KVCache(
         k=jax.lax.dynamic_slice(cache.k, start, (l, 1, kv, s, hd)),

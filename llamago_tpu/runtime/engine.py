@@ -122,7 +122,13 @@ class Engine:
         self.buckets = tuple(b for b in buckets if b <= config.max_seq_len) or (
             config.max_seq_len,
         )
-        self.cache = KVCache.create(config, batch=slots)
+        # cache layout follows the weights: layered (tuple-of-layers)
+        # weights take the unrolled forward path — per-layer leaves feed
+        # the fused Pallas kernels directly and compile far faster than
+        # the 7B scan graph — and need a layered cache so XLA aliases
+        # each layer's update in place
+        layered = isinstance(params.get("layers"), (list, tuple))
+        self.cache = KVCache.create(config, batch=slots, layered=layered)
         self.sampler_state = SamplerState.create(
             slots, config.max_seq_len, config.vocab_size
         )
@@ -571,7 +577,8 @@ class Engine:
             )
         jax.block_until_ready(self.logits)
         # wipe warmup state
-        self.cache = KVCache.create(self.config, batch=self.n_slots)
+        self.cache = KVCache.create(self.config, batch=self.n_slots,
+                                    layered=self.cache.layered)
         self.sampler_state = reset_slots(
             self.sampler_state, jnp.ones(self.n_slots, bool)
         )

@@ -226,3 +226,49 @@ def test_prefix_cache_disabled_after_context_swap(engine_setup):
     # and outputs still match a cold engine
     cold = Engine(config, params, vocab, slots=1, buckets=(16, 32))
     assert nxt.output_tokens == cold.generate("hello world", gen).output_tokens
+
+
+def test_layered_engine_matches_stacked(engine_setup):
+    """Engine on unstacked+fused weights (the single-chip fast path the
+    CLI builds) produces identical outputs to the stacked-scan engine."""
+    from llamago_tpu.checkpoint.params import (
+        fuse_layer_weights,
+        unstack_layer_params,
+    )
+
+    config, params, vocab = engine_setup
+    layered = fuse_layer_weights(
+        unstack_layer_params(jax.tree.map(lambda x: x, params), config.n_layers)
+    )
+    eng_l = Engine(config, layered, vocab, slots=2, buckets=(16, 32, 64),
+                   decode_chunk_size=4)
+    assert eng_l.cache.layered
+    eng_s = Engine(config, params, vocab, slots=2, buckets=(16, 32, 64))
+    assert not eng_s.cache.layered
+
+    a = eng_l.generate("hello world", GREEDY)
+    b = eng_s.generate("hello world", GREEDY)
+    assert a.status == b.status == JobStatus.FINISHED
+    assert a.output_tokens == b.output_tokens
+
+    gen = GenerateConfig(max_tokens=10, ctx_size=64, temp=0.8, seed=5)
+    assert eng_l.generate("hi", gen).output_tokens == \
+        eng_s.generate("hi", gen).output_tokens
+
+
+def test_layered_engine_speculative(engine_setup):
+    from llamago_tpu.checkpoint.params import (
+        fuse_layer_weights,
+        unstack_layer_params,
+    )
+
+    config, params, vocab = engine_setup
+    layered = fuse_layer_weights(
+        unstack_layer_params(jax.tree.map(lambda x: x, params), config.n_layers)
+    )
+    spec = Engine(config, layered, vocab, slots=1, buckets=(16, 32, 64),
+                  speculative=True, draft_len=4, decode_chunk_size=4)
+    plain = Engine(config, params, vocab, slots=1, buckets=(16, 32, 64))
+    a = spec.generate("hello world", GREEDY)
+    b = plain.generate("hello world", GREEDY)
+    assert a.output_tokens == b.output_tokens
