@@ -164,3 +164,23 @@ def test_metrics(server):
     assert body["generated_tokens"] > 0
     assert body["ttft_ms"]["p50"] > 0
     assert body["tokens_per_second"]["p50"] > 0
+
+
+def test_stop_at_eos_override(server):
+    """Per-request stop_at_eos reaches the engine (tiny random model may
+    or may not emit EOS — the contract is the override is accepted and
+    the job finishes)."""
+    jid = str(uuid.uuid4())
+    code, body = req(server, "POST", "/jobs/",
+                     {"id": jid, "prompt": "hello", "stop_at_eos": True,
+                      "max_tokens": 6})
+    assert code == 200
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        _, st = req(server, "GET", f"/jobs/status/{jid}")
+        if st["status"] in ("finished", "failed"):
+            break
+        time.sleep(0.1)
+    assert st["status"] == "finished"
+    _, job = req(server, "GET", f"/jobs/{jid}")
+    assert job["status"] == "finished"

@@ -168,3 +168,24 @@ def test_engine_speculative_skips_sampled_jobs(setup):
     b = plain.generate("hello", gen)
     assert a.status == JobStatus.FINISHED
     assert a.output_tokens == b.output_tokens
+
+
+def test_engine_speculative_with_context_swap(setup):
+    """Long generation through a small context: speculative engine must
+    survive swaps and still match the plain engine exactly."""
+    from llamago_tpu.config import GenerateConfig
+    from llamago_tpu.runtime.engine import Engine, JobStatus
+
+    from conftest import make_test_vocab
+
+    config, params = setup
+    vocab = make_test_vocab()
+    gen = GenerateConfig(max_tokens=60, ctx_size=32, temp=0.0)
+    spec = Engine(config, params, vocab, slots=1, buckets=(16, 32),
+                  speculative=True, draft_len=3, decode_chunk_size=2)
+    plain = Engine(config, params, vocab, slots=1, buckets=(16, 32))
+    a = spec.generate("hello world", gen)
+    b = plain.generate("hello world", gen)
+    assert a.status == b.status == JobStatus.FINISHED
+    assert a.output_tokens == b.output_tokens
+    assert spec.slots[0].swap_point is not None  # a swap really happened
