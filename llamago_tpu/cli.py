@@ -169,10 +169,18 @@ def _load_engine(args):
     from llamago_tpu.checkpoint import load_parameters, read_ggjt
     from llamago_tpu.runtime.engine import Engine
 
-    if jax.default_backend() == "tpu":
-        # persistent XLA compile cache: server/CLI restarts skip the
-        # remote-compile round trips (cold 7B compiles measured
-        # 60-200s each through a tunneled TPU; warm loads are seconds)
+    def _tunneled_tpu() -> bool:
+        # the experimental 'axon' remote-TPU plugin compiles on a helper
+        # machine; cached XLA:CPU entries then reload with mismatched
+        # host features and can SIGILL — no persistent cache there
+        from jax._src import xla_bridge
+
+        return "axon" in xla_bridge.backends()
+
+    if jax.default_backend() == "tpu" and not _tunneled_tpu():
+        # persistent XLA compile cache: server/CLI restarts skip
+        # recompilation (cold 7B compiles cost minutes; warm loads are
+        # seconds). Override dir via LLAMAGO_XLA_CACHE.
         cache_dir = os.environ.get(
             "LLAMAGO_XLA_CACHE",
             os.path.join(os.path.expanduser("~"), ".cache", "llamago_tpu", "xla"),
