@@ -30,9 +30,13 @@ REFERENCE_7B_FP32_CPU_TOKS = 1.5  # documented estimate, see module docstring
 def main() -> None:
     import jax
 
-    if jax.default_backend() == "tpu":
-        # persistent compile cache: bench reruns skip the remote-compile
-        # round trips (init varied 16s..205s without it)
+    from jax._src import xla_bridge
+
+    if jax.default_backend() == "tpu" and "axon" not in xla_bridge.backends():
+        # persistent compile cache for real TPU hosts. NOT under the
+        # tunneled axon plugin: entries compiled by its remote helper
+        # reload with mismatched host features and can SIGILL
+        # (see docs/SERVING.md environment notes).
         jax.config.update("jax_compilation_cache_dir", "/tmp/llamago_jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp

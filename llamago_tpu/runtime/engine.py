@@ -42,6 +42,16 @@ from llamago_tpu.ops.sampling import SamplerState, push_tokens, reset_slots, sam
 from llamago_tpu.runtime.kv_cache import KVCache
 from llamago_tpu.tokenizer import EOS_TOKEN, Vocab, detokenize, tokenize
 
+
+def _host(arr) -> np.ndarray:
+    """Device -> host copy via a fresh on-device buffer (defensive:
+    direct np.asarray of a jit output has been observed to stall over
+    tunneled TPU transports; a staged copy matches bench.py's reliable
+    sync pattern). See docs/SERVING.md environment notes."""
+    flat = jnp.ravel(arr)
+    staged = jnp.concatenate([flat, flat[:1]])[:-1]  # forced fresh buffer
+    return np.asarray(staged).reshape(arr.shape)
+
 DEFAULT_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
 
 
@@ -306,7 +316,7 @@ class Engine:
             split[:, 1], self.logits, self.sampler_state,
             jnp.asarray(temp), jnp.asarray(top_k), jnp.asarray(top_p), jnp.asarray(rp),
         )
-        tokens = np.asarray(tokens_dev)  # host sync
+        tokens = _host(tokens_dev)  # host sync
         sample_dt = (time.time() - t0) * 1000.0
 
         self.sampler_state = push_tokens(
@@ -415,7 +425,7 @@ class Engine:
         )
         # restore the pending-logits invariant: one forward of each slot's
         # last emitted token (mirrors _decode_chunked's final forward)
-        toks_h = np.asarray(toks)
+        toks_h = _host(toks)
         counts_h = np.asarray(counts)
         last = np.zeros((self.n_slots, 1), np.int32)
         for i in range(self.n_slots):
@@ -511,7 +521,7 @@ class Engine:
                 return_final_logits=True,
             )
         )
-        toks = np.asarray(toks_dev)  # host sync, one per chunk
+        toks = _host(toks_dev)  # host sync, one per chunk
         dt_per_tok = (time.time() - t0) * 1000.0 / n_chunk
         for i, slot in enumerate(self.slots):
             if not active[i] or slot.job is None:
