@@ -160,8 +160,9 @@ def read_ggjt(path: str, max_seq_len: int = 1024) -> GGJTCheckpoint:
     if missing:
         raise ValueError(f"{path}: missing tensors: {sorted(missing)[:5]}...")
 
-    # ftype -> weight storage (llama.cpp codes: 0 f32, 1 f16, 2 Q4_0, 7 Q8_0)
-    weight_dtype = {0: "float32", 1: "bfloat16", 2: "int4", 7: "int8"}.get(
+    # ftype -> weight storage (llama.cpp codes: 0 f32, 1 f16, 2 Q4_0,
+    # 3 Q4_1, 7 Q8_0)
+    weight_dtype = {0: "float32", 1: "bfloat16", 2: "int4", 3: "int4", 7: "int8"}.get(
         ftype, "bfloat16"
     )
     config = ModelConfig(

@@ -316,14 +316,17 @@ def _concat_weights(ws, axis=-1):
     """Concatenate dense or quantized leaves along the output dim,
     dropping source references as they are consumed."""
     if isinstance(ws[0], dict):
+        # every quantized sub-leaf concatenates along the out dim: q blocks,
+        # scales, and (Q4_1) the per-block mins "m" — dropping "m" would
+        # silently dequantize an affine checkpoint with Q4_0 semantics
         qk = "q8" if "q8" in ws[0] else "q4"
-        qs = [w.pop(qk) for w in ws]
-        ss = [w.pop("s") for w in ws]
-        q = jnp.concatenate(qs, axis=axis)
-        del qs
-        s = jnp.concatenate(ss, axis=axis)
-        del ss
-        return {qk: q, "s": s}
+        keys = [qk, "s"] + (["m"] if "m" in ws[0] else [])
+        out: dict = {}
+        for key in keys:
+            parts = [w.pop(key) for w in ws]
+            out[key] = jnp.concatenate(parts, axis=axis)
+            del parts
+        return out
     return jnp.concatenate(list(ws), axis=axis)
 
 

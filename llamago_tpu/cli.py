@@ -92,6 +92,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spec", action="store_true",
                    help="prompt-lookup speculative decoding for greedy "
                         "(temp 0) requests — lossless, often 2x+ tokens/s")
+    p.add_argument("--prefill-buckets", default="",
+                   help="comma-separated prefill pad lengths "
+                        "[default: 16,32,...,4096 capped at --context]")
+    p.add_argument("--prefill-chunk", type=int, default=256,
+                   help="max prompt tokens absorbed per engine step — long "
+                        "admissions interleave with decode at this "
+                        "granularity [256]")
     p.add_argument("--draft", type=int, default=7,
                    help="speculative draft length [7]")
     # multi-host (jax.distributed): every host runs the same command; on
@@ -193,7 +200,7 @@ def _load_engine(args):
     if not args.silent:
         log("info", f"loading model {args.model} ...")
     ckpt = read_ggjt(args.model, max_seq_len=args.context)
-    file_quantized = ckpt.ftype in (2, 7)
+    file_quantized = ckpt.ftype in (2, 3, 7)  # Q4_0 / Q4_1 / Q8_0
     config = ckpt.config.replace(
         dtype=args.dtype,
         # a pre-quantized file dictates the weight storage
@@ -234,9 +241,16 @@ def _load_engine(args):
             layers=config.n_layers, dim=config.dim,
             weights=config.weight_dtype, tp=tp)
     chunk = args.chunk or (16 if jax.default_backend() == "tpu" else 1)
+    kwargs = {}
+    if getattr(args, "prefill_buckets", ""):
+        kwargs["buckets"] = tuple(
+            sorted(int(b) for b in args.prefill_buckets.split(","))
+        )
     engine = Engine(config, params, ckpt.vocab, slots=args.pods,
                     decode_chunk_size=chunk, speculative=args.spec,
-                    draft_len=args.draft)
+                    draft_len=args.draft,
+                    prefill_chunk=getattr(args, "prefill_chunk", 256),
+                    **kwargs)
     return engine, ckpt, config
 
 
@@ -266,7 +280,8 @@ def run(args) -> int:
 
         server = JobServer(
             engine,
-            ServerConfig(host=args.host, port=args.port, max_pods=args.pods),
+            ServerConfig(host=args.host, port=args.port, max_pods=args.pods,
+                         prefill_buckets=engine.buckets),
             gen,
             model_name=os.path.basename(args.model),
         )

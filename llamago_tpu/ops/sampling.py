@@ -41,11 +41,17 @@ NEG_INF = float("-inf")
 @dataclass
 class SamplerState:
     """Per-slot last-N token window (replaces the reference's ring.Ring,
-    server.go:127-138) plus presence counts for O(1) penalty lookup."""
+    server.go:127-138) plus presence counts for O(1) penalty lookup.
+
+    `window` is the per-slot EFFECTIVE ring length (the reference sizes
+    its ring per request: PenaltyLastN, main.go:89, server.go:127-138):
+    the ring buffer is allocated at the max length and each slot wraps at
+    its own window[b], so rows past it stay empty (-1) and never count."""
 
     ring: jax.Array  # [B, N] int32, -1 = empty
     counts: jax.Array  # [B, V] int32, occurrences of each token in the window
     ptr: jax.Array  # [B] int32, next ring slot to overwrite
+    window: jax.Array  # [B] int32 in [1, N] — per-slot repeat_last_n
 
     @staticmethod
     def create(batch: int, window: int, vocab_size: int) -> "SamplerState":
@@ -53,17 +59,25 @@ class SamplerState:
             ring=jnp.full((batch, window), -1, jnp.int32),
             counts=jnp.zeros((batch, vocab_size), jnp.int32),
             ptr=jnp.zeros(batch, jnp.int32),
+            window=jnp.full(batch, window, jnp.int32),
         )
 
 
 @jax.jit
-def reset_slots(state: SamplerState, reset_mask: jax.Array) -> SamplerState:
-    """Clear the window for slots where reset_mask[b] is True (job admission)."""
+def reset_slots(
+    state: SamplerState, reset_mask: jax.Array, window: jax.Array | None = None
+) -> SamplerState:
+    """Clear the window for slots where reset_mask[b] is True (job admission).
+    `window` optionally sets those slots' penalty window (repeat_last_n)."""
     m = reset_mask
+    new_window = state.window if window is None else jnp.where(
+        m, jnp.clip(window, 1, state.ring.shape[1]), state.window
+    )
     return SamplerState(
         ring=jnp.where(m[:, None], -1, state.ring),
         counts=jnp.where(m[:, None], 0, state.counts),
         ptr=jnp.where(m, 0, state.ptr),
+        window=new_window,
     )
 
 
@@ -80,8 +94,8 @@ def _push_one(state: SamplerState, tokens: jax.Array, active: jax.Array) -> Samp
     inc_ok = active & (tokens >= 0)
     counts = counts.at[rows, jnp.where(inc_ok, tokens, 0)].add(jnp.where(inc_ok, 1, 0))
     ring = state.ring.at[rows, state.ptr].set(jnp.where(active, tokens, evicted))
-    ptr = jnp.where(active, (state.ptr + 1) % state.ring.shape[1], state.ptr)
-    return SamplerState(ring=ring, counts=counts, ptr=ptr)
+    ptr = jnp.where(active, (state.ptr + 1) % state.window, state.ptr)
+    return SamplerState(ring=ring, counts=counts, ptr=ptr, window=state.window)
 
 
 @jax.jit

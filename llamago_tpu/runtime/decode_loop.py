@@ -29,7 +29,8 @@ from llamago_tpu.runtime.kv_cache import KVCache
 
 @partial(
     jax.jit,
-    static_argnames=("config", "n_steps", "greedy", "return_final_logits"),
+    static_argnames=("config", "n_steps", "greedy", "return_final_logits",
+                     "max_top_k"),
     donate_argnames=("cache", "state"),
 )
 def decode_chunk(
@@ -47,6 +48,7 @@ def decode_chunk(
     repeat_penalty: jnp.ndarray | None = None,
     greedy: bool = True,
     return_final_logits: bool = False,
+    max_top_k: int = 128,
 ):
     """Run n_steps decode iterations on device.
 
@@ -67,7 +69,8 @@ def decode_chunk(
             split = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
             keys2 = split[:, 0]
             nxt = sample_impl(
-                split[:, 1], logits, st, temp, top_k, top_p, repeat_penalty
+                split[:, 1], logits, st, temp, top_k, top_p, repeat_penalty,
+                max_top_k=max_top_k,
             )
             st2 = _push_one(st, nxt, jnp.ones(nxt.shape[0], bool))
         return (nxt, cache, pos + 1, st2, keys2), nxt

@@ -94,6 +94,12 @@ class _Slot:
     pos: int = 0                      # next cache position to write
     history: list[int] = field(default_factory=list)  # prompt + generated
     remaining: int = 0
+    # prompt tokens admitted but not yet prefilled: admission prefill runs
+    # in bucket-sized chunks interleaved with decode steps so one long
+    # prompt cannot freeze other slots' decode (the reference's pods are
+    # isolated goroutines, server.go:84-106; this restores that property
+    # in continuous-batching form)
+    pending: list[int] = field(default_factory=list)
     # first cache position that stopped mirroring `history` (set by a
     # context swap); None = cache[p] == history[p] for all p < pos,
     # which is what per-slot prefix caching relies on
@@ -102,6 +108,11 @@ class _Slot:
     @property
     def free(self) -> bool:
         return self.job is None
+
+    @property
+    def decodable(self) -> bool:
+        """Holds a job whose prompt is fully prefilled (logits pending)."""
+        return self.job is not None and not self.pending
 
     @property
     def mapped(self) -> int:
@@ -124,6 +135,7 @@ class Engine:
         decode_chunk_size: int = 1,
         speculative: bool = False,
         draft_len: int = 7,
+        prefill_chunk: int = 256,
     ):
         self.config = config
         self.params = params
@@ -154,6 +166,10 @@ class Engine:
         # (lossless; see runtime/speculative.py)
         self.speculative = speculative
         self.draft_len = draft_len
+        # admission prefill runs in chunks of at most this many tokens per
+        # engine step, so active slots keep decoding while a long prompt
+        # is absorbed (the reference's pod-isolation property)
+        self.prefill_chunk = max(16, min(prefill_chunk, self.buckets[-1]))
         self._queue: list[Job] = []
         self._lock = threading.Lock()
         self._stop = threading.Event()
@@ -177,6 +193,21 @@ class Engine:
             if n <= b:
                 return b
         return self.buckets[-1]
+
+    def _fits(self, reuse: int, n_ids: int) -> bool:
+        """Would chunked prefill of ids[reuse:] at write_pos=reuse keep every
+        padded bucket inside the cache? Guards the prefix-reuse overrun:
+        `lax.dynamic_update_slice` CLAMPS an out-of-range start and would
+        silently overwrite valid reused rows (models/llama.py:_update_cache)."""
+        p, rem = reuse, n_ids - reuse
+        s = self.config.max_seq_len
+        while rem > 0:
+            c = min(self.prefill_chunk, rem)
+            if p + self._bucket(c) > s:
+                return False
+            p += c
+            rem -= c
+        return True
 
     def _admit(self, slot_idx: int, job: Job) -> None:
         slot = self.slots[slot_idx]
@@ -204,29 +235,63 @@ class Engine:
         old = slot.history[: slot.mapped]
         while reuse < len(old) and reuse < len(ids) - 1 and old[reuse] == ids[reuse]:
             reuse += 1
+        # shrink reuse until the padded suffix fits the cache (a suffix
+        # bucket starting near max_seq_len would clamp and corrupt the
+        # reused rows); worst case reuse=0 always fits since len(ids) < ctx
+        while reuse > 0 and not self._fits(reuse, len(ids)):
+            reuse = max(0, reuse - 16)
         job.reused_tokens = reuse
 
         slot.job = job
         slot.history = list(ids)
         slot.remaining = gen.max_tokens
         slot.swap_point = None
+        slot.pos = reuse                 # prefill cursor
+        slot.pending = list(ids[reuse:])  # absorbed chunk-by-chunk in step()
         seed = gen.seed if gen.seed >= 0 else time.time_ns() % (2**31)
         self.rngs = self.rngs.at[slot_idx].set(jax.random.PRNGKey(seed))
 
-        # reset the repeat-penalty window, then feed the prompt into it
-        # (the reference's ring sees prompt tokens too, server.go:187-198)
+        # reset the repeat-penalty window (per-request size, reference:
+        # PenaltyLastN ring, main.go:89 + server.go:127-138), then feed the
+        # prompt into it (the ring sees prompt tokens too, server.go:187-198)
         mask = np.zeros(self.n_slots, bool)
         mask[slot_idx] = True
-        self.sampler_state = reset_slots(self.sampler_state, jnp.asarray(mask))
+        window = np.full(
+            self.n_slots,
+            max(1, min(gen.repeat_last_n or ctx, self.config.max_seq_len)),
+            np.int32,
+        )
+        self.sampler_state = reset_slots(
+            self.sampler_state, jnp.asarray(mask), jnp.asarray(window)
+        )
         self._push_slot_tokens(slot_idx, ids)
 
-        self._prefill(slot_idx, ids[reuse:], write_pos=reuse)
-        slot.pos = len(ids)
-        job.ttft_ms = (time.time() - job.started) * 1000.0
+    def _advance_prefills(self) -> bool:
+        """Absorb ONE pending prefill chunk (at most) into its slot — one
+        chunk per engine step bounds how long a long admission can stall
+        the decode cadence of active slots."""
+        for i, slot in enumerate(self.slots):
+            if slot.job is None or not slot.pending:
+                continue
+            chunk = slot.pending[: self.prefill_chunk]
+            t0 = time.time()
+            self._prefill(i, chunk, write_pos=slot.pos)
+            slot.job.eval_ms.append((time.time() - t0) * 1000.0)
+            slot.pos += len(chunk)
+            slot.pending = slot.pending[len(chunk):]
+            return True
+        return False
 
     def _push_slot_tokens(self, slot_idx: int, ids: list[int]) -> None:
-        toks = np.full((self.n_slots, len(ids)), -1, np.int32)
-        toks[slot_idx] = ids
+        # pad to the bucket ladder: each distinct T is a separate XLA
+        # program for the jitted scan in push_tokens; beyond the largest
+        # bucket, round up to a multiple of it
+        big = self.buckets[-1]
+        n = self._bucket(len(ids)) if len(ids) <= big else (
+            (len(ids) + big - 1) // big * big
+        )
+        toks = np.full((self.n_slots, n), -1, np.int32)
+        toks[slot_idx, : len(ids)] = ids
         active = np.zeros(self.n_slots, bool)
         active[slot_idx] = True
         self.sampler_state = push_tokens(
@@ -235,6 +300,11 @@ class Engine:
 
     def _prefill(self, slot_idx: int, ids: list[int], write_pos: int) -> None:
         bucket = self._bucket(len(ids))
+        if write_pos + bucket > self.config.max_seq_len:
+            raise ValueError(
+                f"prefill bucket overruns cache: write_pos={write_pos} "
+                f"bucket={bucket} max_seq_len={self.config.max_seq_len}"
+            )
         padded = np.zeros((1, bucket), np.int32)
         padded[0, : len(ids)] = ids
         logits, self.cache = prefill_into_slot(
@@ -286,11 +356,58 @@ class Engine:
         rp = np.ones(self.n_slots, np.float32)
         active = np.zeros(self.n_slots, bool)
         for i, s in enumerate(self.slots):
-            if s.job is not None:
+            if s.decodable:
                 g = s.job.gen
                 temp[i], top_k[i], top_p[i], rp[i] = g.temp, g.top_k, g.top_p, g.repeat_penalty
                 active[i] = True
         return temp, top_k, top_p, rp, active
+
+    # static top-K ladder: the sampler's top_k cut uses a STATIC candidate
+    # count (jax.lax.top_k); per-request K is applied by masking inside it.
+    # The ladder keeps the compile set small while supporting ANY requested
+    # K up to the full vocab (the reference sorts the whole vocab,
+    # llama.go:548-565 — no K cap there, none here).
+    _TOPK_LADDER = (128, 512, 2048)
+
+    def _static_top_k(self, top_k: np.ndarray, active: np.ndarray) -> int:
+        need = int(top_k[active].max()) if active.any() else 1
+        for k in self._TOPK_LADDER:
+            if need <= k:
+                return min(k, self.config.vocab_size)
+        return self.config.vocab_size
+
+    def _decode_positions(self, active: np.ndarray, writes: int) -> np.ndarray:
+        """Per-slot cache positions for a decode forward that performs
+        `writes` sequential cache writes per batch row.
+
+        Inactive rows still flow through the batched forward (XLA static
+        shapes), and _update_cache writes K/V for EVERY row — so inactive
+        rows must be parked where garbage writes cannot clobber live data:
+
+          * a slot mid-prefill parks AT its prefill cursor: rows >= cursor
+            are rewritten by upcoming prefill chunks / decode steps before
+            any query attends them (decode paths are capped to writes=1
+            while any prefill is pending — see _chunkable/_spec_steps);
+          * a free slot parks at its mapped-prefix end so the cached prompt
+            stays reusable; if that would overrun the cache, it parks
+            lower and the mapping shrinks (swap_point) — without this,
+            freed slots' prefix caches are silently corrupted by
+            co-tenants' decode writes and readmission attends garbage KV.
+        """
+        s_max = self.cache.max_seq
+        pos = np.zeros(self.n_slots, np.int32)
+        for i, slot in enumerate(self.slots):
+            if active[i]:
+                pos[i] = slot.pos
+            elif slot.job is not None:
+                pos[i] = min(slot.pos, s_max - 1)
+            else:
+                park = min(slot.mapped, max(s_max - writes, 0))
+                pos[i] = park
+                if park < slot.mapped:
+                    slot.swap_point = park if slot.swap_point is None else min(
+                        slot.swap_point, park)
+        return pos
 
     def step(self) -> bool:
         """One engine iteration. Returns True if any work was done."""
@@ -304,9 +421,13 @@ class Engine:
                     job = self._queue.pop(0)
                     self._admit(i, job)
 
+        # --- absorb one pending prefill chunk (long admissions interleave
+        # with decode instead of blocking it)
+        did_prefill = self._advance_prefills()
+
         temp, top_k, top_p, rp, active = self._gather_gen_arrays()
         if not active.any():
-            return False
+            return did_prefill
 
         # --- sample one token per active slot from the pending logits
         t0 = time.time()
@@ -315,6 +436,7 @@ class Engine:
         tokens_dev = sample(
             split[:, 1], self.logits, self.sampler_state,
             jnp.asarray(temp), jnp.asarray(top_k), jnp.asarray(top_p), jnp.asarray(rp),
+            max_top_k=self._static_top_k(top_k, active),
         )
         tokens = _host(tokens_dev)  # host sync
         sample_dt = (time.time() - t0) * 1000.0
@@ -324,6 +446,7 @@ class Engine:
         )
 
         # --- host bookkeeping: emit tokens, finish jobs
+        now = time.time()
         for i, slot in enumerate(self.slots):
             if slot.job is None or not active[i]:
                 continue
@@ -331,6 +454,9 @@ class Engine:
             job = slot.job
             job.sample_ms.append(sample_dt)
             job.output_tokens.append(tok)
+            if len(job.output_tokens) == 1:
+                # time to FIRST token, including queue wait + chunked prefill
+                job.ttft_ms = (now - job.started) * 1000.0
             slot.history.append(tok)
             slot.remaining -= 1
             if self.stream:
@@ -362,11 +488,10 @@ class Engine:
             return True
 
         feed = np.zeros((self.n_slots, 1), np.int32)
-        pos = np.zeros(self.n_slots, np.int32)
+        pos = self._decode_positions(active, writes=1)
         for i, slot in enumerate(self.slots):
             if active[i]:
                 feed[i, 0] = slot.history[-1]
-                pos[i] = slot.pos
         t0 = time.time()
         self.logits, self.cache = forward(
             self.params, jnp.asarray(feed), self.cache, jnp.asarray(pos), self.config
@@ -389,6 +514,8 @@ class Engine:
             return 0
         if any(active[i] and temp[i] > 0 for i in range(self.n_slots)):
             return 0
+        if any(s.pending for s in self.slots):
+            return 0  # keep single-step cadence while a prefill is in flight
         with self._lock:
             if self._queue:
                 return 0
@@ -406,17 +533,21 @@ class Engine:
         from llamago_tpu.runtime.speculative import speculative_decode_chunk
 
         h = self.config.max_seq_len
+        # reserve history-buffer headroom for every token this chunk can
+        # emit, so the scan's history writes never hit the clamp
+        # (runtime/speculative.py) and proposals stay aligned
+        writes = n_steps * (self.draft_len + 1) + 1
+        tail = max(1, h - writes)
         hist = np.zeros((self.n_slots, h), np.int32)
         hlen = np.ones(self.n_slots, np.int32)
         feed = np.zeros(self.n_slots, np.int32)
-        pos = np.zeros(self.n_slots, np.int32)
+        pos = self._decode_positions(active, writes=writes)
         for i, slot in enumerate(self.slots):
             if active[i]:
-                hs = slot.history[-h:]
+                hs = slot.history[-tail:]
                 hist[i, : len(hs)] = hs
                 hlen[i] = len(hs)
                 feed[i] = slot.history[-1]
-                pos[i] = slot.pos
         t0 = time.time()
         toks, counts, self.cache, pos_out, _, _ = speculative_decode_chunk(
             self.params, jnp.asarray(feed), self.cache, jnp.asarray(pos),
@@ -475,6 +606,8 @@ class Engine:
         mid-chunk), and pending queue (admissions shouldn't wait a chunk)."""
         if self.decode_chunk_size <= 1:
             return 1
+        if any(s.pending for s in self.slots):
+            return 1  # keep single-step cadence while a prefill is in flight
         with self._lock:
             if self._queue:
                 return 1
@@ -495,11 +628,11 @@ class Engine:
 
     def _decode_chunked(self, active, n_chunk, temp, top_k, top_p, rp) -> None:
         feed = np.zeros(self.n_slots, np.int32)
-        pos = np.zeros(self.n_slots, np.int32)
+        # chunk writes n_chunk rows + 1 (the final pending-logits forward)
+        pos = self._decode_positions(active, writes=n_chunk + 1)
         for i, slot in enumerate(self.slots):
             if active[i]:
                 feed[i] = slot.history[-1]
-                pos[i] = slot.pos
         from llamago_tpu.runtime.decode_loop import decode_chunk
 
         t0 = time.time()
@@ -519,6 +652,7 @@ class Engine:
                 repeat_penalty=jnp.asarray(rp),
                 greedy=False,
                 return_final_logits=True,
+                max_top_k=self._static_top_k(top_k, active),
             )
         )
         toks = _host(toks_dev)  # host sync, one per chunk
@@ -586,16 +720,44 @@ class Engine:
                 greedy=False, return_final_logits=True,
             )
         jax.block_until_ready(self.logits)
-        # wipe warmup state
+        # wipe warmup state (incl. any slot prefix mappings — the cache
+        # rows they pointed at were just overwritten)
         self.cache = KVCache.create(self.config, batch=self.n_slots,
                                     layered=self.cache.layered)
         self.sampler_state = reset_slots(
             self.sampler_state, jnp.ones(self.n_slots, bool)
         )
         self.logits = jnp.zeros_like(self.logits)
+        for slot in self.slots:
+            if slot.free:
+                slot.history = []
+                slot.pos = 0
+                slot.swap_point = None
         return time.time() - t0
 
     # --------------------------------------------------------- lifecycle
+
+    def _rebuild_device_state(self) -> None:
+        """Recreate donated device buffers after a failed step.
+
+        forward/decode_chunk/speculative_decode_chunk donate the cache (and
+        sampler state), so a device-side exception mid-step can leave
+        self.cache pointing at a deleted buffer — every later step would
+        then fail and the engine would spin failing all future jobs.
+        Rebuild from scratch (the slots' cached prefixes are forfeited)."""
+        self.cache = KVCache.create(
+            self.config, batch=self.n_slots, layered=self.cache.layered
+        )
+        self.sampler_state = SamplerState.create(
+            self.n_slots, self.config.max_seq_len, self.config.vocab_size
+        )
+        self.logits = jnp.zeros((self.n_slots, self.config.vocab_size), jnp.float32)
+        self.rngs = jax.vmap(jax.random.PRNGKey)(jnp.arange(self.n_slots))
+        for slot in self.slots:
+            slot.history = []
+            slot.pending = []
+            slot.pos = 0
+            slot.swap_point = None
 
     def _fail_active(self, exc: Exception) -> None:
         """Mark every in-flight job failed. The reference leaves jobs of a
@@ -633,6 +795,7 @@ class Engine:
                 busy = self.step()
             except Exception as exc:  # noqa: BLE001 — engine must survive
                 self._fail_active(exc)
+                self._rebuild_device_state()
                 busy = True
             if not busy:
                 self._wake.wait(timeout=poll_interval)

@@ -101,11 +101,19 @@ def speculative_decode_chunk(
             axis=1,
         ).astype(jnp.int32)
         n_emit = n_acc + 1  # accepted drafts + bonus token
-        # emitted tokens are exactly preds[:, :n_emit]
+        # emitted tokens are exactly preds[:, :n_emit].
+        # History writes stay in-bounds: once hlen nears the buffer end the
+        # write start clamps (dynamic_update_slice semantics) — an explicit
+        # clamp here keeps hist[0:hlen] self-consistent so proposals stay
+        # aligned instead of silently degrading to garbage n-grams. The
+        # engine reserves headroom so the clamp never fires in serving
+        # (engine._decode_speculative); this is the in-kernel guarantee.
+        h_cap = hist.shape[1]
+        start = jnp.minimum(hlen, h_cap - preds.shape[1])
         hist = jax.vmap(
             lambda h, l, p: jax.lax.dynamic_update_slice(h, p, (l,))
-        )(hist, hlen, preds)
-        hlen = hlen + n_emit
+        )(hist, start, preds)
+        hlen = jnp.minimum(hlen + n_emit, start + n_emit)
         pos = pos + n_emit
         t_last = jnp.take_along_axis(preds, n_acc[:, None], axis=1)[:, 0]
         return (t_last, cache, pos, hist, hlen), (preds, n_emit)
