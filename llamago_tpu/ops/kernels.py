@@ -57,7 +57,10 @@ def _tile_k(k: int) -> int | None:
 
 
 def _tile_n(n: int) -> int:
-    return _pick_tile(n, (512, 256, 128)) or n
+    # larger n-tiles first: a (tk, tn) tile of the row-major [K, N] weight
+    # reads tn contiguous bytes per row, and DMA efficiency rises with
+    # burst length (tn=256 profiled ~440 GB/s vs ~600 at tn=512 on v5e)
+    return _pick_tile(n, (2048, 1024, 512, 256, 128)) or n
 
 
 def can_fuse(x: jnp.ndarray, w: dict) -> bool:
@@ -77,6 +80,62 @@ def can_fuse(x: jnp.ndarray, w: dict) -> bool:
         return False
     # weight block must fit VMEM (double-buffered by the pipeline)
     return tk * tn <= 4 * 1024 * 1024
+
+
+def _dequant_mm_kernel_so(xt_ref, q_ref, s_ref, o_ref, *, bits: int, tk: int,
+                          tn: int, tm: int):
+    """Scale-on-output decode kernel: one (n, k) grid step with the block
+    scales folded into the OUTPUT instead of the weights.
+
+    The streaming kernel below is VPU-bound at decode shapes: its dequant
+    costs ~3 vector passes per weight element (int->f32 convert, scale
+    multiply, ->bf16 convert), which profiles at ~60-70% of the measured
+    HBM copy bandwidth (see docs/QUANTIZATION.md). Since a block's scale
+    is CONSTANT across its contraction span,
+        sum_k x[m,k] q[k,n] s_b[n] == s_b[n] * sum_k x[m,k] q[k,n],
+    so this kernel feeds raw int8 nibbles/bytes to the MXU after a single
+    convert pass and applies scales to the [tm, tn] partial products —
+    O(tm/QK) VPU work per element instead of O(3). Exact same arithmetic
+    (scale applied after f32 accumulation — if anything, tighter).
+
+    Activations arrive TRANSPOSED [tk, tm]: per-block slicing then runs
+    along the sublane dim, which Mosaic supports at QK granularity (the
+    [tm, tk] layout would need an unsupported lane-dim split).
+    Worth it only while tm <= ~QK; prefill uses the streaming kernel.
+    """
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    blocks = tk // QK
+    s = s_ref[:].astype(jnp.float32)  # [blocks, tn]
+    acc = jnp.zeros((tm, tn), jnp.float32)
+    for b in range(blocks):
+        xb = xt_ref[b * QK:(b + 1) * QK, :]  # [QK, tm] bf16
+        if bits == 8:
+            qb = q_ref[b * QK:(b + 1) * QK, :].astype(jnp.bfloat16)
+        else:
+            p = q_ref[b * (QK // 2):(b + 1) * (QK // 2), :].astype(jnp.int32)
+            lo = (p & 0xF).astype(jnp.bfloat16)
+            hi = ((p >> 4) & 0xF).astype(jnp.bfloat16)
+            qb = jnp.concatenate([lo, hi], axis=0)  # raw nibbles 0..15
+        part = jax.lax.dot_general(
+            xb, qb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [tm, tn]
+        if bits == 4:
+            # Q4_0 offset folded into the output: (nib-8)*s needs -8*s*sum(x)
+            xsum = jnp.sum(xb.astype(jnp.float32), axis=0)  # [tm]
+            part = part - 8.0 * xsum[:, None]
+        acc = acc + part * s[b][None, :]
+    o_ref[:] += acc
+
+
+import os as _os
+
+_F32_DOT = _os.environ.get("LLAMAGO_KERNEL_F32DOT", "1") == "1"
 
 
 def _dequant_mm_kernel(x_ref, q_ref, s_ref, o_ref, *, bits: int, tk: int, tn: int):
@@ -102,10 +161,29 @@ def _dequant_mm_kernel(x_ref, q_ref, s_ref, o_ref, *, bits: int, tk: int, tn: in
         lo = ((p & 0xF) - 8).astype(jnp.float32)
         hi = (((p >> 4) & 0xF) - 8).astype(jnp.float32)
         q = jnp.concatenate([lo, hi], axis=1)
-    w = (q * s[:, None, :]).reshape(tk, tn).astype(jnp.bfloat16)
-    o_ref[:] += jnp.dot(
-        x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
-    )
+    w = (q * s[:, None, :]).reshape(tk, tn)
+    if _F32_DOT:
+        # The kernel is VPU-bound, not MXU-bound, at small m (profiled:
+        # time tracks vector passes over weight elements, and int4 at
+        # half the bytes decodes no faster than int8). Dotting in f32
+        # skips the third VPU pass (f32->bf16 convert) over K*N weight
+        # elements; the MXU's lower f32 rate is irrelevant at these FLOPs.
+        o_ref[:] += jnp.dot(
+            x_ref[:].astype(jnp.float32), w, preferred_element_type=jnp.float32
+        )
+    else:
+        o_ref[:] += jnp.dot(
+            x_ref[:].astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+
+
+# Rows at/below which the scale-on-output kernel is used. Profiled on
+# v5e: its per-block MXU dots (contraction QK=32) are latency-bound and
+# it measured NO faster than the streaming kernel with the f32 dot
+# (w2-class shapes regressed 2x), so it is disabled by default; kept
+# for re-evaluation on hardware with cheaper small-dot issue.
+SCALE_ON_OUTPUT_MAX_M = int(_os.environ.get("LLAMAGO_KERNEL_SO_MAX_M", "0"))
 
 
 @functools.partial(jax.jit, static_argnames=("bits",))
@@ -120,23 +198,41 @@ def _dequant_matmul_2d(x: jnp.ndarray, q: jnp.ndarray, s: jnp.ndarray, bits: int
     qrows = tk if bits == 8 else tk // 2
 
     grid = (n // tn, k // tk)
+    q_spec = pl.BlockSpec((qrows, tn), lambda ni, ki: (ki, ni), memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((tk // QK, tn), lambda ni, ki: (ki, ni), memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((tm, tn), lambda ni, ki: (0, ni), memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=2 * tm * k * n,
+        bytes_accessed=(k * n if bits == 8 else k * n // 2) + tm * k * 2 + tm * n * 4,
+        transcendentals=0,
+    )
+    if tm <= SCALE_ON_OUTPUT_MAX_M:
+        out = pl.pallas_call(
+            functools.partial(_dequant_mm_kernel_so, bits=bits, tk=tk, tn=tn, tm=tm),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tk, tm), lambda ni, ki: (ki, 0),
+                             memory_space=pltpu.VMEM),
+                q_spec,
+                s_spec,
+            ],
+            out_specs=o_spec,
+            out_shape=jax.ShapeDtypeStruct((tm, n), jnp.float32),
+            cost_estimate=cost,
+            interpret=_interpret(),
+        )(x.T, q, s)
+        return out[:m]
     out = pl.pallas_call(
         functools.partial(_dequant_mm_kernel, bits=bits, tk=tk, tn=tn),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tm, tk), lambda ni, ki: (0, ki), memory_space=pltpu.VMEM),
-            pl.BlockSpec((qrows, tn), lambda ni, ki: (ki, ni), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (tk // QK, tn), lambda ni, ki: (ki, ni), memory_space=pltpu.VMEM
-            ),
+            q_spec,
+            s_spec,
         ],
-        out_specs=pl.BlockSpec((tm, tn), lambda ni, ki: (0, ni), memory_space=pltpu.VMEM),
+        out_specs=o_spec,
         out_shape=jax.ShapeDtypeStruct((tm, n), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * tm * k * n,
-            bytes_accessed=(k * n if bits == 8 else k * n // 2) + tm * k * 2 + tm * n * 4,
-            transcendentals=0,
-        ),
+        cost_estimate=cost,
         interpret=_interpret(),
     )(x, q, s)
     return out[:m]
