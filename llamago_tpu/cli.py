@@ -213,14 +213,14 @@ def _load_engine(args):
     dp = max(args.dp, 1)
     tp = args.tp if args.tp > 0 else n_dev // dp
     if tp * dp > 1:
-        from llamago_tpu.ops import kernels
         from llamago_tpu.parallel import make_mesh, param_shardings
+        from llamago_tpu.parallel.tp_kernels import activate_mesh
 
         mesh = make_mesh(tp=tp, dp=dp)
         shardings = param_shardings(config, mesh)
-        # fused Pallas kernels are single-chip programs; under GSPMD the
-        # jnp paths partition cleanly, the custom calls do not
-        kernels.DISABLE_FUSED = True
+        # fused Pallas kernels run per-shard via shard_map under the mesh
+        # (parallel/tp_kernels.py); global-value fusion stays off.
+        activate_mesh(mesh)
     params = load_parameters(config, ckpt.tensors, shardings=shardings)
     if tp * dp <= 1:
         # single-chip fast path: unstack to per-layer weights (the fused

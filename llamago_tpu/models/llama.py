@@ -28,7 +28,11 @@ import jax
 import jax.numpy as jnp
 
 from llamago_tpu.config import ModelConfig
-from llamago_tpu.ops.attention import can_fuse_attention, flash_attention
+from llamago_tpu.ops.attention import (
+    attention_math as _attention_math,
+    can_fuse_attention,
+    flash_attention,
+)
 from llamago_tpu.ops.basic import apply_rope, linear, rms_norm, swiglu
 from llamago_tpu.runtime.kv_cache import KVCache
 
@@ -67,25 +71,27 @@ def _attention(
         # once per (batch, head) — see ops/attention.py.
         return flash_attention(q, k_cache, v_cache, positions)
 
-    b, t, h, hd = q.shape
-    s = k_cache.shape[2]
-    kv = config.kv_heads
-    g = h // kv  # GQA group size
+    from llamago_tpu.ops import kernels as _k
 
-    qg = q.reshape(b, t, kv, g, hd)
-    scale = 1.0 / (hd**0.5)  # reference: llama.go:303 (1/sqrt(embd/heads))
-    acc = jnp.promote_types(q.dtype, jnp.float32)
-    # scores: [B, KV, G, T, S]
-    scores = jnp.einsum("btkgd,bksd->bkgts", qg, k_cache, preferred_element_type=acc)
-    scores = scores * scale
+    if _k.ACTIVE_MESH is not None:
+        from llamago_tpu.parallel.tp_kernels import maybe_tp_attention
 
-    slot = jnp.arange(s, dtype=jnp.int32)
-    allowed = slot[None, None, :] <= positions[:, :, None]  # [B, T, S]
-    scores = jnp.where(allowed[:, None, None, :, :], scores, NEG_INF)
+        out = maybe_tp_attention(_attention_local, q, k_cache, v_cache,
+                                 positions)
+        if out is not None:
+            return out
 
-    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bkgts,bksd->btkgd", probs, v_cache, preferred_element_type=acc)
-    return out.reshape(b, t, h * hd).astype(q.dtype)
+    return _attention_math(q, k_cache, v_cache, positions)
+
+
+def _attention_local(q, k_cache, v_cache, positions):
+    """Shard-local attention dispatch (called inside shard_map): fused
+    Pallas kernel when the LOCAL geometry allows, jnp math otherwise."""
+    from llamago_tpu.ops.attention import can_fuse_attention_local
+
+    if can_fuse_attention_local(q, k_cache):
+        return flash_attention(q, k_cache, v_cache, positions)
+    return _attention_math(q, k_cache, v_cache, positions)
 
 
 def forward_impl(
@@ -107,6 +113,15 @@ def forward_impl(
     b, t = tokens.shape
     dtype = jnp.dtype(config.dtype)
 
+    # Megatron partition kinds per weight leaf (empty off-mesh). Lets the
+    # quantized matmuls run the fused Pallas kernel PER SHARD via
+    # shard_map instead of falling back to jnp dequantize-then-dot under
+    # GSPMD (parallel/tp_kernels.py).
+    from llamago_tpu.ops import kernels as _kernels
+    from llamago_tpu.parallel.tp_kernels import tp_kinds
+
+    kinds = tp_kinds(config, _kernels.ACTIVE_MESH)
+
     positions = write_pos[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]  # [B, T]
 
     # Embedding lookup (reference: GetRows, llama.go:244).
@@ -125,8 +140,9 @@ def forward_impl(
             k = qkv[..., q_dim:q_dim + kv_dim]
             v = qkv[..., q_dim + kv_dim:]
         else:
-            q, k, v = (linear(h, lp["wq"]), linear(h, lp["wk"]),
-                       linear(h, lp["wv"]))
+            q, k, v = (linear(h, lp["wq"], tp_kind=kinds.get("wq")),
+                       linear(h, lp["wk"], tp_kind=kinds.get("wk")),
+                       linear(h, lp["wv"], tp_kind=kinds.get("wv")))
         q = q.reshape(b, t, config.n_heads, config.head_dim)
         k = k.reshape(b, t, config.kv_heads, config.head_dim)
         v = v.reshape(b, t, config.kv_heads, config.head_dim)
@@ -138,7 +154,7 @@ def forward_impl(
         v_layer = _update_cache(v_layer, v.astype(v_layer.dtype), write_pos)
 
         attn = _attention(config, q, k_layer, v_layer, positions)
-        x = x + linear(attn, lp["wo"])
+        x = x + linear(attn, lp["wo"], tp_kind=kinds.get("wo"))
 
         # --- FFN (reference: llama.go:340-369)
         h = rms_norm(x, lp["ffn_norm"], config.norm_eps)
@@ -148,7 +164,7 @@ def forward_impl(
             gate = jax.nn.silu(gate.astype(jnp.float32)).astype(h.dtype)
             x = x + linear(gate * up, lp["w2"])
         else:
-            x = x + swiglu(h, lp["w1"], lp["w2"], lp["w3"])
+            x = x + swiglu(h, lp["w1"], lp["w2"], lp["w3"], kinds=kinds)
         return x, k_layer, v_layer
 
     layers = params["layers"]
@@ -186,7 +202,9 @@ def forward_impl(
             x = x[:, -1, :]
         else:
             x = jnp.take_along_axis(x, logit_index[:, None, None], axis=1)[:, 0, :]
-    logits = linear(x, params["output"], compute_dtype=dtype).astype(jnp.float32)
+    logits = linear(
+        x, params["output"], compute_dtype=dtype, tp_kind=kinds.get("output")
+    ).astype(jnp.float32)
 
     return logits, KVCache(k=k_new, v=v_new)
 

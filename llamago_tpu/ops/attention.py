@@ -82,7 +82,16 @@ def _tiles(t: int, g: int, kv: int, s: int, hd: int, itemsize: int):
 
 
 def can_fuse_attention(q: jnp.ndarray, k_cache: jnp.ndarray) -> bool:
-    """True if the fused kernel handles this (q, cache) geometry."""
+    """True if the fused kernel handles this (q, cache) geometry on the
+    current device view. Refuses under an active mesh — there the kernel
+    runs per-shard inside shard_map (parallel/tp_kernels.py), which calls
+    `can_fuse_attention_local` on the shard-local shapes instead."""
+    if _k.ACTIVE_MESH is not None:
+        return False
+    return can_fuse_attention_local(q, k_cache)
+
+
+def can_fuse_attention_local(q: jnp.ndarray, k_cache: jnp.ndarray) -> bool:
     if _k.DISABLE_FUSED:
         return False
     if not (_k._on_tpu() or _k.FORCE_INTERPRET):
@@ -189,6 +198,39 @@ def _flash_attention(q5, k_cache, v_cache, pos0, scale):
     return out
 
 
+def attention_math(
+    q: jnp.ndarray,  # [B, T, H, hd] (roped)
+    k_cache: jnp.ndarray,  # [B, KV, S, hd] (roped)
+    v_cache: jnp.ndarray,  # [B, KV, S, hd]
+    positions: jnp.ndarray,  # [B, T] absolute query positions
+) -> jnp.ndarray:
+    """jnp attention math (reference: llama.go:300-336). Head counts
+    derive from the operand shapes so the same code serves global (GSPMD)
+    and shard-local views. Returns [B, T, H*hd] in q.dtype."""
+    b, t, h, hd = q.shape
+    s = k_cache.shape[2]
+    kv = k_cache.shape[1]
+    g = h // kv  # GQA group size
+
+    qg = q.reshape(b, t, kv, g, hd)
+    scale = 1.0 / (hd**0.5)  # reference: llama.go:303 (1/sqrt(embd/heads))
+    acc = jnp.promote_types(q.dtype, jnp.float32)
+    # scores: [B, KV, G, T, S]
+    scores = jnp.einsum("btkgd,bksd->bkgts", qg, k_cache,
+                        preferred_element_type=acc)
+    scores = scores * scale
+
+    slot = jnp.arange(s, dtype=jnp.int32)
+    allowed = slot[None, None, :] <= positions[:, :, None]  # [B, T, S]
+    scores = jnp.where(allowed[:, None, None, :, :], scores, NEG_INF)
+
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bkgts,bksd->btkgd", probs, v_cache,
+                     preferred_element_type=acc)
+    return out.reshape(b, t, h * hd).astype(q.dtype)
+
+
+@jax.custom_vjp
 def flash_attention(
     q: jnp.ndarray,  # [B, T, H, hd] (roped)
     k_cache: jnp.ndarray,  # [B, KV, S, hd] (roped)
@@ -197,9 +239,10 @@ def flash_attention(
 ) -> jnp.ndarray:
     """Causal attention of new queries against the full cache buffer.
 
-    Drop-in for the jnp path in models/llama.py:_attention; same
-    semantics (mask slot <= query position, f32 softmax), returns
-    [B, T, H*hd] in q.dtype.
+    Drop-in for attention_math; same semantics (mask slot <= query
+    position, f32 softmax), returns [B, T, H*hd] in q.dtype. The VJP
+    differentiates `attention_math` (pallas_call has no autodiff rule),
+    so training steps can run the fused kernel forward.
     """
     b, t, h, hd = q.shape
     kv = k_cache.shape[1]
@@ -209,3 +252,21 @@ def flash_attention(
     scale = 1.0 / (hd**0.5)  # reference: llama.go:303
     out = _flash_attention(q5, k_cache, v_cache, pos0, scale)
     return out.reshape(b, t, h * hd)
+
+
+def _flash_fwd(q, k_cache, v_cache, positions):
+    return flash_attention(q, k_cache, v_cache, positions), (
+        q, k_cache, v_cache, positions)
+
+
+def _flash_bwd(res, g):
+    q, k_cache, v_cache, positions = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: attention_math(q_, k_, v_, positions),
+        q, k_cache, v_cache,
+    )
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)

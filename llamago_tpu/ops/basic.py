@@ -61,22 +61,27 @@ def apply_rope(
     return jnp.stack([r0, r1], axis=-1).reshape(b, t, h, hd).astype(x.dtype)
 
 
-def linear(x: jnp.ndarray, w, compute_dtype=None) -> jnp.ndarray:
+def linear(x: jnp.ndarray, w, compute_dtype=None, tp_kind=None) -> jnp.ndarray:
     """x @ w with the quantized-weight dispatch seam.
 
     `w` is either a dense [in, out] array or a quantized leaf
-    {"q": int8/packed, "s": scales} produced by ops/quant.py.
+    {"q": int8/packed, "s": scales} produced by ops/quant.py. `tp_kind`
+    ("col"/"row"/None) is the leaf's Megatron partition kind, used under
+    an active mesh to run the fused kernel per-shard (parallel/tp_kernels).
     """
     if isinstance(w, dict):
         from llamago_tpu.ops.quant import quant_matmul
 
-        return quant_matmul(x, w)
+        return quant_matmul(x, w, tp_kind=tp_kind)
     dtype = compute_dtype or x.dtype
     return jnp.dot(x.astype(dtype), w.astype(dtype), preferred_element_type=dtype)
 
 
-def swiglu(x: jnp.ndarray, w1, w2, w3) -> jnp.ndarray:
+def swiglu(x: jnp.ndarray, w1, w2, w3, kinds=None) -> jnp.ndarray:
     """SwiGLU FFN: w2 @ (silu(w1 x) * (w3 x)) (reference: llama.go:354-363)."""
-    gate = jax.nn.silu(linear(x, w1).astype(jnp.float32)).astype(x.dtype)
-    up = linear(x, w3)
-    return linear(gate * up, w2)
+    kinds = kinds or {}
+    gate = jax.nn.silu(
+        linear(x, w1, tp_kind=kinds.get("w1")).astype(jnp.float32)
+    ).astype(x.dtype)
+    up = linear(x, w3, tp_kind=kinds.get("w3"))
+    return linear(gate * up, w2, tp_kind=kinds.get("w2"))

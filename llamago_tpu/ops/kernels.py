@@ -31,6 +31,13 @@ QK = 32  # quantization block size along the contraction dim
 FORCE_INTERPRET = False
 DISABLE_FUSED = False
 
+# The active GSPMD mesh, set once at startup by the CLI / dryrun before any
+# trace. A pallas_call is a single-device program: under a mesh it must run
+# per-shard inside jax.shard_map (parallel/tp_kernels.py), never on GSPMD
+# global values — so `can_fuse` refuses whenever a mesh is active and the
+# shard_map wrapper calls the shape-only check below instead.
+ACTIVE_MESH = None
+
 
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
@@ -64,7 +71,16 @@ def _tile_n(n: int) -> int:
 
 
 def can_fuse(x: jnp.ndarray, w: dict) -> bool:
-    """The fused kernel handles this (x, w) pair."""
+    """The fused kernel handles this (x, w) pair on the CURRENT device view
+    (single chip, or one shard inside shard_map)."""
+    if ACTIVE_MESH is not None:
+        return False
+    return can_fuse_local(x, w)
+
+
+def can_fuse_local(x: jnp.ndarray, w: dict) -> bool:
+    """Shape/placement check only — used by the shard_map TP wrapper where
+    per-shard pallas_calls are legal even though a mesh is active."""
     if DISABLE_FUSED:
         return False
     if not (_on_tpu() or FORCE_INTERPRET):

@@ -112,14 +112,22 @@ def dequantize(w: dict, dtype=jnp.float32) -> jnp.ndarray:
     return out.astype(dtype)
 
 
-def quant_matmul(x: jnp.ndarray, w: dict) -> jnp.ndarray:
+def quant_matmul(x: jnp.ndarray, w: dict, tp_kind: str | None = None) -> jnp.ndarray:
     """x [..., in] @ quantized w -> [..., out].
 
-    jnp/XLA path: dequantize blocks then MXU dot. The fused Pallas kernel
-    (ops/kernels.py) replaces this on TPU when shapes allow.
+    Dispatch order: shard_map-wrapped Pallas kernel when a mesh is active
+    (parallel/tp_kernels.py, per-shard fusion with Megatron specs), the
+    single-chip fused kernel on TPU when shapes allow, else the jnp/XLA
+    dequantize-then-dot fallback.
     """
     from llamago_tpu.ops import kernels
 
+    if kernels.ACTIVE_MESH is not None:
+        from llamago_tpu.parallel.tp_kernels import maybe_tp_matmul
+
+        out = maybe_tp_matmul(x, w, tp_kind)
+        if out is not None:
+            return out.astype(x.dtype)
     if kernels.can_fuse(x, w):
         return kernels.dequant_matmul(x, w)
     deq = dequantize(w, dtype=x.dtype)

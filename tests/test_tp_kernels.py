@@ -1,0 +1,182 @@
+"""Fused Pallas kernels under GSPMD meshes (parallel/tp_kernels.py).
+
+Each quantized matmul / attention runs the single-chip kernel PER SHARD
+inside jax.shard_map (interpret mode on the CPU mesh), and must match the
+jnp dequantize-then-dot / einsum reference path on global values.
+"""
+
+import contextlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llamago_tpu.config import ModelConfig
+from llamago_tpu.ops import kernels, quant
+from llamago_tpu.parallel import make_mesh, param_shardings, cache_sharding
+from llamago_tpu.parallel.tp_kernels import (
+    maybe_tp_attention,
+    maybe_tp_matmul,
+    tp_kinds,
+)
+
+
+@contextlib.contextmanager
+def active_mesh(mesh, interpret=True):
+    """Set the process-global mesh + interpret flags, restoring and
+    clearing jit caches afterwards (traces capture the globals)."""
+    jax.clear_caches()
+    kernels.ACTIVE_MESH = mesh
+    old_interp = kernels.FORCE_INTERPRET
+    kernels.FORCE_INTERPRET = interpret
+    try:
+        yield mesh
+    finally:
+        kernels.ACTIVE_MESH = None
+        kernels.FORCE_INTERPRET = old_interp
+        jax.clear_caches()
+
+
+def _quant_pair(k, n, bits, seed=0):
+    rng = np.random.default_rng(seed)
+    w = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32) * 0.05)
+    return quant.quantize(w, bits)
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+@pytest.mark.parametrize("kind", ["col", "row"])
+def test_tp_matmul_matches_reference(bits, kind):
+    k, n, b = 128, 256, 4
+    qw = _quant_pair(k, n, bits)
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((b, 1, k)).astype(np.float32)
+    )
+    ref = jnp.dot(x, quant.dequantize(qw, jnp.float32))
+    with active_mesh(make_mesh(tp=4, dp=2)):
+        out = maybe_tp_matmul(x, qw, kind)
+    assert out is not None
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_dp_only_mesh_runs_kernel_per_shard():
+    k, n, b = 128, 256, 8
+    qw = _quant_pair(k, n, 8)
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal((b, k)).astype(np.float32)
+    )
+    ref = jnp.dot(x, quant.dequantize(qw, jnp.float32))
+    with active_mesh(make_mesh(tp=1, dp=8)):
+        out = maybe_tp_matmul(x, qw, None)
+    assert out is not None
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_global_fusion_refused_under_mesh():
+    qw = _quant_pair(128, 256, 8)
+    x = jnp.ones((1, 128), jnp.bfloat16)
+    with active_mesh(make_mesh(tp=4, dp=2)):
+        assert not kernels.can_fuse(x, qw)
+        assert kernels.can_fuse_local(x, qw)
+    # off-mesh on CPU: fusion needs FORCE_INTERPRET again
+    assert not kernels.can_fuse(x, qw)
+    kernels.FORCE_INTERPRET = True
+    try:
+        assert kernels.can_fuse(x, qw)
+    finally:
+        kernels.FORCE_INTERPRET = False
+
+
+def test_fallbacks_return_none():
+    qw = _quant_pair(128, 256, 8)
+    x = jnp.ones((2, 128), jnp.float32)
+    with active_mesh(make_mesh(tp=4, dp=2)):
+        # Q4_1 affine leaves take the GSPMD jnp path
+        affine = dict(_quant_pair(128, 256, 4), m=jnp.zeros((4, 256)))
+        assert maybe_tp_matmul(x, affine, "col") is None
+        # stacked (scan) leaves are pre-sliced by the caller
+        stacked = {"q8": jnp.zeros((2, 128, 256), jnp.int8),
+                   "s": jnp.zeros((2, 4, 256))}
+        assert maybe_tp_matmul(x, stacked, "col") is None
+    # non-dividing contraction dim for row-parallel: 128 % (32*8) != 0
+    with active_mesh(make_mesh(tp=8, dp=1)):
+        assert maybe_tp_matmul(x, qw, "row") is None
+
+
+def test_tp_kinds_head_gating():
+    cfg = ModelConfig(vocab_size=64, dim=64, n_layers=1, n_heads=4,
+                      n_kv_heads=2, multiple_of=32, max_seq_len=32)
+    mesh4 = make_mesh(tp=4, dp=1)
+    kinds = tp_kinds(cfg, mesh4)
+    # 4 q heads divide, 2 kv heads don't: wq/wo shard, wk/wv replicate
+    assert kinds["wq"] == "col" and kinds["wo"] == "row"
+    assert "wk" not in kinds and "wv" not in kinds
+    assert kinds["w1"] == "col" and kinds["w2"] == "row"
+    mesh2 = make_mesh(tp=2, dp=1)
+    kinds2 = tp_kinds(cfg, mesh2)
+    assert kinds2["wk"] == "col" and kinds2["wv"] == "col"
+    assert tp_kinds(cfg, None) == {}
+    assert tp_kinds(cfg, make_mesh(tp=1, dp=8)) == {}
+
+
+def test_tp_attention_matches_reference():
+    from llamago_tpu.models.llama import _attention_local, _attention_math
+
+    b, t, h, kv, s, hd = 2, 1, 8, 4, 32, 64
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((b, t, h, hd)).astype(np.float32))
+    kc = jnp.asarray(rng.standard_normal((b, kv, s, hd)).astype(np.float32))
+    vc = jnp.asarray(rng.standard_normal((b, kv, s, hd)).astype(np.float32))
+    pos = jnp.full((b, t), 7, jnp.int32)
+    ref = _attention_math(q, kc, vc, pos)
+    with active_mesh(make_mesh(tp=4, dp=2)):
+        out = maybe_tp_attention(_attention_local, q, kc, vc, pos)
+    assert out is not None
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("tp,dp", [(2, 1), (4, 2)])
+def test_sharded_forward_fused_matches_single_device(tp, dp):
+    """Full int8 forward under an active mesh (per-shard Pallas kernels
+    via shard_map) vs the single-device fused path."""
+    from llamago_tpu.checkpoint.params import random_parameters
+    from llamago_tpu.models.llama import forward_impl
+    from llamago_tpu.runtime.kv_cache import KVCache
+
+    config = ModelConfig(vocab_size=256, dim=128, n_layers=2, n_heads=4,
+                         n_kv_heads=4, multiple_of=32, max_seq_len=32,
+                         dtype="float32", weight_dtype="int8")
+    batch = max(2, dp)
+    tokens = jnp.asarray(
+        np.random.default_rng(4).integers(0, 256, (batch, 4)).astype(np.int32)
+    )
+    pos = jnp.zeros(batch, jnp.int32)
+
+    # single-device fused reference (interpret kernels on CPU)
+    jax.clear_caches()
+    kernels.FORCE_INTERPRET = True
+    try:
+        params = random_parameters(config, seed=9)
+        cache = KVCache.create(config, batch=batch, dtype=jnp.float32)
+        ref, _ = forward_impl(params, tokens, cache, pos, config,
+                              return_all_logits=True)
+        ref = np.asarray(ref)
+    finally:
+        kernels.FORCE_INTERPRET = False
+        jax.clear_caches()
+
+    with active_mesh(make_mesh(tp=tp, dp=dp)) as mesh:
+        shardings = param_shardings(config, mesh)
+        params_s = random_parameters(config, seed=9, shardings=shardings)
+        cache_s = KVCache.create(config, batch=batch, dtype=jnp.float32,
+                                 sharding=cache_sharding(config, mesh))
+        got, _ = forward_impl(params_s, tokens, cache_s, pos, config,
+                              return_all_logits=True)
+        got = np.asarray(got)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
