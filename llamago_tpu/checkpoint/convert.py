@@ -74,10 +74,23 @@ def _coerce(arr: np.ndarray, ftype: int) -> np.ndarray:
     return arr.astype(np.float16)
 
 
-def load_meta_checkpoint(dir_model: str) -> tuple[dict, dict[str, np.ndarray]]:
-    """Load Meta-format LLaMA weights, reassembling TP shards."""
+def _load_part(dir_model: str, part: int):
+    """One consolidated.NN.pth, memory-mapped when the file format allows
+    (zip-serialized, torch>=1.6) so tensors page in lazily and peak RSS
+    stays ~one write-chunk, not one part."""
     import torch
 
+    path = os.path.join(dir_model, f"consolidated.{part:02d}.pth")
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True, mmap=True)
+    except (RuntimeError, ValueError):  # legacy non-zip serialization
+        return torch.load(path, map_location="cpu", weights_only=True)
+
+
+def load_meta_checkpoint(dir_model: str) -> tuple[dict, dict[str, np.ndarray]]:
+    """Load Meta-format LLaMA weights, reassembling TP shards (in RAM —
+    use stream_meta_to_ggjt for conversion; this exists for callers that
+    want the tensors themselves)."""
     with open(os.path.join(dir_model, "params.json")) as f:
         hparams = json.load(f)
     n_parts = _N_PARTS.get(hparams["dim"])
@@ -86,25 +99,134 @@ def load_meta_checkpoint(dir_model: str) -> tuple[dict, dict[str, np.ndarray]]:
 
     merged: dict[str, list[np.ndarray]] = {}
     for part in range(n_parts):
-        path = os.path.join(dir_model, f"consolidated.{part:02d}.pth")
-        state = torch.load(path, map_location="cpu", weights_only=True)
+        state = _load_part(dir_model, part)
         for name, t in state.items():
             if name.endswith("freqs"):
                 continue
-            merged.setdefault(name, []).append(
-                t.to(torch.float32).numpy() if t.dtype == torch.bfloat16
-                else t.numpy()
-            )
+            merged.setdefault(name, []).append(t.float().numpy().copy())
         del state
 
     tensors: dict[str, np.ndarray] = {}
     for name, parts in merged.items():
-        if len(parts) == 1:
+        if len(parts) == 1 or parts[0].ndim != 2:
+            # replicated across parts (1-D norms): part 0 only
+            # (reference skips dim-1 tensors for part_id > 0, :207-213)
             tensors[name] = np.squeeze(parts[0])
         else:
             dim = split_dim_for(name)
             tensors[name] = np.concatenate(parts, axis=dim)
     return hparams, tensors
+
+
+_CHUNK_BYTES = 64 << 20  # streaming write granularity (peak-RSS bound)
+
+
+def stream_meta_to_ggjt(
+    dir_model: str,
+    out_path: str,
+    config: ModelConfig,
+    vocab: Vocab,
+    ftype: int,
+    hparams: dict | None = None,
+) -> None:
+    """Convert a multi-part Meta checkpoint in CONSTANT memory.
+
+    The reference streams each part's tensors to their final file offsets
+    with seek-writes and never holds more than one part in RAM
+    (reference: scripts/convert-pth-to-ggml.py:207-232, part loop
+    :268-273). This goes further: parts are memory-mapped and copied in
+    <=64 MB chunks, so peak RSS is ~one chunk regardless of model size
+    (a 65B f32 conversion no longer needs ~260 GB of host RAM).
+
+    Layout pass: part 0's shapes give every tensor's GLOBAL shape
+    (split dim x n_parts, rules at :161-188); headers are written and
+    data ranges reserved. Data pass: for each part, dim-0 splits land as
+    one contiguous block at their row offset; dim-1 splits seek-write
+    each row's column slice (same access pattern the reference uses).
+    """
+    from llamago_tpu.checkpoint.ggjt import (
+        DTYPE_F16,
+        DTYPE_F32,
+        write_header_and_vocab,
+        write_tensor_meta,
+    )
+
+    if hparams is None:
+        with open(os.path.join(dir_model, "params.json")) as f:
+            hparams = json.load(f)
+    n_parts = _N_PARTS.get(hparams["dim"])
+    if n_parts is None:
+        raise ValueError(f"unknown model dim {hparams['dim']}")
+
+    part0 = _load_part(dir_model, 0)
+    # ---- layout pass: name -> (data offset, global np shape, np dtype, split)
+    layout: dict[str, tuple[int, tuple[int, ...], np.dtype, int]] = {}
+    with open(out_path, "wb") as f:
+        write_header_and_vocab(f, config, vocab, ftype)
+        for name, t in part0.items():
+            if name.endswith("freqs"):
+                continue
+            pshape = tuple(s for s in t.shape if s != 1) or (1,)
+            split = split_dim_for(name) if (len(pshape) == 2 and n_parts > 1) else -1
+            gshape = list(pshape)
+            if split >= 0:
+                gshape[split] *= n_parts
+            gshape = tuple(gshape)
+            np_dtype = np.dtype(
+                np.float16 if (ftype == 1 and len(gshape) == 2) else np.float32
+            )
+            dtype_code = DTYPE_F16 if np_dtype == np.float16 else DTYPE_F32
+            write_tensor_meta(f, name, len(gshape), list(reversed(gshape)),
+                              dtype_code)
+            off = f.tell()
+            layout[name] = (off, gshape, np_dtype, split)
+            f.seek(int(np.prod(gshape)) * np_dtype.itemsize, os.SEEK_CUR)
+        f.truncate()
+
+    # ---- data pass: one part resident (mmap-backed) at a time
+    state = part0
+    with open(out_path, "r+b") as f:
+        for part in range(n_parts):
+            if part > 0:
+                state = _load_part(dir_model, part)
+            for name, (off, gshape, np_dtype, split) in layout.items():
+                t = state[name]
+                while t.dim() > len(gshape):
+                    t = t.squeeze()
+                if split == -1:
+                    if part > 0:  # replicated: written once, from part 0
+                        continue
+                    _write_rows(f, t, off, np_dtype)
+                elif split == 0:
+                    rows = t.shape[0]
+                    row_bytes = t.shape[1] * np_dtype.itemsize
+                    _write_rows(f, t, off + part * rows * row_bytes, np_dtype)
+                else:  # split == 1: column slice of every global row
+                    rows, pcols = t.shape
+                    grow_bytes = gshape[1] * np_dtype.itemsize
+                    col_off = part * pcols * np_dtype.itemsize
+                    chunk_rows = max(1, _CHUNK_BYTES // (pcols * np_dtype.itemsize))
+                    for r0 in range(0, rows, chunk_rows):
+                        block = t[r0:r0 + chunk_rows].float().numpy()
+                        block = np.ascontiguousarray(block, dtype=np_dtype)
+                        for i in range(block.shape[0]):
+                            f.seek(off + (r0 + i) * grow_bytes + col_off)
+                            f.write(block[i].tobytes())
+            del state
+            state = None
+
+
+def _write_rows(f, t, start_off: int, np_dtype) -> None:
+    """Contiguous chunked write of a torch tensor at a file offset."""
+    flat_rows = t.shape[0] if t.dim() > 1 else 1
+    per_row = (int(np.prod(t.shape[1:])) if t.dim() > 1 else t.shape[0])
+    rb = per_row * np_dtype.itemsize
+    chunk_rows = max(1, _CHUNK_BYTES // rb)
+    f.seek(start_off)
+    t2 = t.reshape(flat_rows, per_row)
+    for r0 in range(0, flat_rows, chunk_rows):
+        block = t2[r0:r0 + chunk_rows].float().numpy()
+        f.write(np.ascontiguousarray(block, dtype=np_dtype).tobytes())
 
 
 _HF_MAP = {
@@ -192,15 +314,17 @@ def convert(
     if fmt == "auto":
         fmt = "hf" if os.path.exists(os.path.join(dir_model, "config.json")) else "meta"
 
+    tensors: dict[str, np.ndarray] = {}
     if fmt == "hf":
-        hparams, tensors = ({}, {}) if vocab_only else load_hf_checkpoint(dir_model)
+        hparams = {}
+        if not vocab_only:
+            hparams, tensors = load_hf_checkpoint(dir_model)
         tok_path = os.path.join(dir_model, "tokenizer.model")
     else:
         with open(os.path.join(dir_model, "params.json")) as f:
             hparams = json.load(f)
         tok_path = os.path.join(os.path.dirname(os.path.normpath(dir_model)),
                                 "tokenizer.model")
-        tensors = {} if vocab_only else load_meta_checkpoint(dir_model)[1]
 
     vocab = vocab_from_sp_model(tok_path)
     config = ModelConfig(
@@ -216,6 +340,12 @@ def convert(
     if out_path is None:
         suffix = "vocab" if vocab_only else ("f32" if ftype == 0 else "f16")
         out_path = os.path.join(dir_model, f"ggjt-model-{suffix}.bin")
+
+    if fmt == "meta" and not vocab_only:
+        # constant-memory path: parts stream to final file offsets
+        stream_meta_to_ggjt(dir_model, out_path, config, vocab, ftype,
+                            hparams=hparams)
+        return out_path
 
     out = {name: _coerce(arr, ftype) for name, arr in tensors.items()}
     write_ggjt(out_path, config, vocab, out, ftype=ftype)

@@ -194,24 +194,7 @@ def write_ggjt(
     if ftype is None:
         ftype = 1 if any(t.dtype == np.float16 for t in tensors.values()) else 0
     with open(path, "wb") as f:
-        f.write(
-            struct.pack(
-                "<9i",
-                GGJT_MAGIC,
-                GGJT_VERSION,
-                config.vocab_size,
-                config.dim,
-                config.multiple_of,
-                config.n_heads,
-                config.n_layers,
-                config.head_dim,  # rot, obsolete
-                ftype,
-            )
-        )
-        for piece, score in vocab.tokens:
-            f.write(struct.pack("<i", len(piece)))
-            f.write(piece)
-            f.write(struct.pack("<f", score))
+        write_header_and_vocab(f, config, vocab, ftype)
         for name, arr in tensors.items():
             if hasattr(arr, "kind"):  # QuantTensor
                 dtype = _KIND_TO_DTYPE[arr.kind]
@@ -224,11 +207,40 @@ def write_ggjt(
                 ne = list(reversed(arr.shape))
                 payload = arr
                 ndim = arr.ndim
-            sname = name.encode("utf-8")
-            f.write(struct.pack("<3i", ndim, len(sname), dtype))
-            for d in ne:
-                f.write(struct.pack("<i", d))
-            f.write(sname)
-            off = f.tell()
-            f.write(b"\x00" * (-off % ALIGNMENT))
+            write_tensor_meta(f, name, ndim, ne, dtype)
             f.write(payload.tobytes())
+
+
+def write_header_and_vocab(f, config: ModelConfig, vocab: Vocab, ftype: int) -> None:
+    """File header + scored vocab (shared by the in-RAM writer above and
+    the streaming converter, checkpoint/convert.py)."""
+    f.write(
+        struct.pack(
+            "<9i",
+            GGJT_MAGIC,
+            GGJT_VERSION,
+            config.vocab_size,
+            config.dim,
+            config.multiple_of,
+            config.n_heads,
+            config.n_layers,
+            config.head_dim,  # rot, obsolete
+            ftype,
+        )
+    )
+    for piece, score in vocab.tokens:
+        f.write(struct.pack("<i", len(piece)))
+        f.write(piece)
+        f.write(struct.pack("<f", score))
+
+
+def write_tensor_meta(f, name: str, ndim: int, ne: list[int], dtype: int) -> None:
+    """Tensor header + alignment pad; leaves the file positioned at the
+    tensor's data offset."""
+    sname = name.encode("utf-8")
+    f.write(struct.pack("<3i", ndim, len(sname), dtype))
+    for d in ne:
+        f.write(struct.pack("<i", d))
+    f.write(sname)
+    off = f.tell()
+    f.write(b"\x00" * (-off % ALIGNMENT))

@@ -174,3 +174,81 @@ def test_hf_logits_parity(tmp_path):
     with torch.no_grad():
         theirs = hf_model(torch.from_numpy(ids.astype(np.int64))).logits.numpy()
     np.testing.assert_allclose(np.asarray(ours), theirs, rtol=0, atol=5e-3)
+
+
+def _make_multipart_meta_checkpoint(tmp_path, n_parts=2):
+    """Synthetic 2-part Meta checkpoint (dim 5120 => n_parts 2): each part
+    holds its TP shard, split along the reference's per-tensor rules."""
+    torch = pytest.importorskip("torch")
+    d = tmp_path / "13B"
+    d.mkdir()
+    (d / "params.json").write_text(json.dumps(
+        {"dim": 5120, "n_heads": 4, "n_layers": 1,
+         "multiple_of": 256, "vocab_size": -1}
+    ))
+    make_sp_model(str(tmp_path / "tokenizer.model"), extra=[("▁hi", -1.0)])
+    rng = np.random.default_rng(7)
+    full = {
+        "tok_embeddings.weight": rng.standard_normal((260, 16)).astype(np.float32),
+        "norm.weight": np.ones(8, np.float32),
+        "output.weight": rng.standard_normal((260, 8)).astype(np.float32),
+        "layers.0.attention_norm.weight": np.ones(8, np.float32),
+        "layers.0.ffn_norm.weight": np.ones(8, np.float32),
+        "layers.0.attention.wq.weight": rng.standard_normal((8, 8)).astype(np.float32),
+        "layers.0.attention.wk.weight": rng.standard_normal((8, 8)).astype(np.float32),
+        "layers.0.attention.wv.weight": rng.standard_normal((8, 8)).astype(np.float32),
+        "layers.0.attention.wo.weight": rng.standard_normal((8, 16)).astype(np.float32),
+        "layers.0.feed_forward.w1.weight": rng.standard_normal((16, 8)).astype(np.float32),
+        "layers.0.feed_forward.w2.weight": rng.standard_normal((8, 16)).astype(np.float32),
+        "layers.0.feed_forward.w3.weight": rng.standard_normal((16, 8)).astype(np.float32),
+    }
+    for p in range(n_parts):
+        state = {}
+        for name, arr in full.items():
+            split = split_dim_for(name)
+            if arr.ndim != 2:
+                state[name] = torch.from_numpy(arr)  # replicated
+            elif split == 0:
+                rows = arr.shape[0] // n_parts
+                state[name] = torch.from_numpy(arr[p * rows:(p + 1) * rows].copy())
+            else:
+                cols = arr.shape[1] // n_parts
+                state[name] = torch.from_numpy(arr[:, p * cols:(p + 1) * cols].copy())
+        state["rope.freqs"] = torch.ones(4)
+        torch.save(state, str(d / f"consolidated.{p:02d}.pth"))
+    return d, full
+
+
+def test_streaming_multipart_convert(tmp_path):
+    """The streaming converter reassembles 2-part TP shards into exactly
+    the full tensors, for both split dims and both ftypes."""
+    d, full = _make_multipart_meta_checkpoint(tmp_path)
+    out = convert(str(d), ftype=0, fmt="meta")
+    ckpt = read_ggjt(out)
+    assert "rope.freqs" not in ckpt.tensors
+    for name, arr in full.items():
+        np.testing.assert_array_equal(
+            np.asarray(ckpt.tensors[name]), arr, err_msg=name)
+
+    out16 = convert(str(d), out_path=str(d / "f16.bin"), ftype=1, fmt="meta")
+    ck16 = read_ggjt(out16)
+    assert ck16.tensors["output.weight"].dtype == np.float16
+    assert ck16.tensors["norm.weight"].dtype == np.float32
+    np.testing.assert_allclose(
+        np.asarray(ck16.tensors["layers.0.attention.wo.weight"], np.float32),
+        full["layers.0.attention.wo.weight"], rtol=1e-3, atol=1e-3)
+
+
+def test_streaming_matches_in_ram_loader(tmp_path):
+    """stream_meta_to_ggjt output == write_ggjt(load_meta_checkpoint) output
+    tensor-for-tensor (single-part path shares the same code)."""
+    from llamago_tpu.checkpoint.convert import load_meta_checkpoint
+
+    d, _ = _make_multipart_meta_checkpoint(tmp_path)
+    _, ram = load_meta_checkpoint(str(d))
+    out = convert(str(d), out_path=str(d / "s.bin"), ftype=0, fmt="meta")
+    ckpt = read_ggjt(out)
+    assert set(ram) == set(ckpt.tensors)
+    for name in ram:
+        np.testing.assert_array_equal(
+            np.asarray(ckpt.tensors[name]), ram[name], err_msg=name)
