@@ -275,26 +275,43 @@ def run(args) -> int:
     gen = _gen_config(args)
 
     if args.server:
+        import jax
+
         from llamago_tpu.config import ServerConfig
         from llamago_tpu.server.api import JobServer
 
-        server = JobServer(
-            engine,
-            ServerConfig(host=args.host, port=args.port, max_pods=args.pods,
-                         prefill_buckets=engine.buckets),
-            gen,
-            model_name=os.path.basename(args.model),
-        )
+        multi = jax.process_count() > 1
+        from llamago_tpu.parallel.multihost import is_primary
+
+        server = None
+        if not multi or is_primary():
+            # only process 0 owns the HTTP frontend; replicas run the
+            # lockstep tick and make the identical jitted calls
+            server = JobServer(
+                engine,
+                ServerConfig(host=args.host, port=args.port,
+                             max_pods=args.pods,
+                             prefill_buckets=engine.buckets),
+                gen,
+                model_name=os.path.basename(args.model),
+            )
         warm_s = engine.warmup()
         if not args.silent:
             log("info", f"engine warm in {warm_s:.1f}s "
                         "(prefill buckets + decode step compiled)")
-            log("info", f"listening on http://{args.host}:{args.port}",
-                pods=args.pods)
+            if server is not None:
+                log("info", f"listening on http://{args.host}:{args.port}",
+                    pods=args.pods)
         try:
-            server.serve_forever()
+            if multi:
+                from llamago_tpu.parallel.multihost import serve_lockstep
+
+                serve_lockstep(engine, server)
+            else:
+                server.serve_forever()
         except KeyboardInterrupt:
-            server.shutdown()
+            if server is not None:
+                server.shutdown()
         return 0
 
     if args.chat:

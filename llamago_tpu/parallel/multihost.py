@@ -77,6 +77,94 @@ def broadcast_pytree(obj, is_source: bool | None = None):
     return json.loads(bytes(buf).decode())
 
 
+def gen_to_dict(gen) -> dict:
+    import dataclasses
+
+    return dataclasses.asdict(gen)
+
+
+def gen_from_dict(d: dict):
+    from llamago_tpu.config import GenerateConfig
+
+    return GenerateConfig(**d)
+
+
+def serve_lockstep(engine, job_server=None, poll_interval: float = 0.05,
+                   stop_when=None) -> None:
+    """The multi-host serving loop: every process runs this; the PRIMARY
+    additionally owns the HTTP frontend (`job_server`, required on
+    process 0, forbidden elsewhere — CLI gates construction on
+    is_primary()).
+
+    Each tick:
+      1. primary drains its submission queue (fed by HTTP), resolves
+         seed=-1 to concrete values, and decides deadline expirations;
+      2. one broadcast carries {submissions, expirations, stop} to all;
+      3. every process admits the SAME jobs in the SAME order (primary
+         requeues its original Job objects so HTTP references stay live;
+         replicas construct equivalent jobs) and applies the same
+         expirations;
+      4. every process calls engine.step() — identical state in,
+         identical jitted calls out, which is exactly the SPMD lockstep
+         contract. Idle ticks sleep symmetrically (state is identical,
+         so the idle decision is too); the broadcast itself is the
+         barrier that keeps ticks aligned.
+
+    `stop_when` (primary only) ends the loop on all processes via the
+    broadcast's stop flag.
+    """
+    primary = is_primary()
+    engine.enable_lockstep_admission()  # step() admits agreed jobs only
+    if primary:
+        if job_server is None:
+            raise ValueError("primary process needs the JobServer")
+        job_server.start_background(start_engine=False)
+    elif job_server is not None:
+        raise ValueError("only process 0 may own the HTTP frontend")
+
+    pending: list = []
+    try:
+        while True:
+            if primary:
+                pending = engine.drain_pending()
+                for j in pending:
+                    if j.gen.seed < 0:  # never from local time on replicas
+                        j.gen = j.gen.replace(seed=time.time_ns() % (2**31))
+                msg = {
+                    "subs": [
+                        {"id": j.id, "prompt": j.prompt,
+                         "gen": gen_to_dict(j.gen)}
+                        for j in pending
+                    ],
+                    "expired": engine.expired_job_ids(),
+                    "stop": bool(stop_when()) if stop_when is not None else False,
+                }
+            else:
+                msg = None
+            msg = broadcast_pytree(msg)
+            if primary:
+                engine.requeue(pending)
+            else:
+                for s in msg["subs"]:
+                    engine.submit(s["prompt"], gen_from_dict(s["gen"]),
+                                  job_id=s["id"])
+                engine.approve(len(msg["subs"]))
+            engine.apply_expiry(msg["expired"])
+            try:
+                busy = engine.step()
+            except Exception as exc:  # noqa: BLE001 — engine must survive
+                engine._fail_active(exc)
+                engine._rebuild_device_state()
+                busy = True
+            if msg["stop"]:
+                return
+            if not busy and not msg["subs"]:
+                time.sleep(poll_interval)
+    finally:
+        if primary and job_server is not None:
+            job_server.shutdown()
+
+
 def agree(submissions: list[dict]) -> list[dict]:
     """Broadcast the primary's pending submissions to every process.
 

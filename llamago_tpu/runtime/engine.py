@@ -181,6 +181,11 @@ class Engine:
         # is absorbed (the reference's pod-isolation property)
         self.prefill_chunk = max(16, min(prefill_chunk, self.buckets[-1]))
         self._queue: list[Job] = []
+        # None = every queued job is admissible (single-process). Multi-
+        # host lockstep sets 0 via enable_lockstep_admission(): step()
+        # then admits only the first _agreed_n jobs — the prefix every
+        # process agreed on via broadcast (parallel/multihost.py).
+        self._agreed_n: int | None = None
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
@@ -427,10 +432,15 @@ class Engine:
         # server.go:92-103)
         with self._lock:
             for i, slot in enumerate(self.slots):
-                if not self._queue:
+                if not self._queue or self._agreed_n == 0:
+                    # lockstep mode admits only the agreement-approved
+                    # queue prefix — a job submitted between the drain and
+                    # this step must wait for the next tick's broadcast
                     break
                 if slot.free:
                     job = self._queue.pop(0)
+                    if self._agreed_n is not None:
+                        self._agreed_n -= 1
                     self._admit(i, job)
 
         # --- absorb one pending prefill chunk (long admissions interleave
@@ -529,7 +539,7 @@ class Engine:
         if any(s.pending for s in self.slots):
             return 0  # keep single-step cadence while a prefill is in flight
         with self._lock:
-            if self._queue and any(s.free for s in self.slots):
+            if self._queue and self._agreed_n != 0 and any(s.free for s in self.slots):
                 return 0  # yield only to ACTIONABLE admissions
         allowed = max(1, self.decode_chunk_size)
         per_step = self.draft_len + 1
@@ -635,7 +645,7 @@ class Engine:
         if any(s.pending for s in self.slots):
             return 1  # keep single-step cadence while a prefill is in flight
         with self._lock:
-            if self._queue and any(s.free for s in self.slots):
+            if self._queue and self._agreed_n != 0 and any(s.free for s in self.slots):
                 return 1
         allowed = self.decode_chunk_size
         for i, slot in enumerate(self.slots):
@@ -835,19 +845,70 @@ class Engine:
                 slot.job.finished = time.time()
                 slot.job = None
 
-    def _expire_deadlines(self) -> None:
-        """Fail jobs that exceeded their wall-clock deadline (the
-        reference's unimplemented background watcher, server.go:55)."""
-        now = time.time()
+    def expired_job_ids(self, now: float | None = None) -> list[str]:
+        """Active jobs past their wall-clock deadline. Split from the
+        expiry itself so multi-host serving can have the PRIMARY decide
+        expirations and broadcast them — local clocks may disagree, and a
+        divergent expiry would break SPMD lockstep (parallel/multihost.py)."""
+        now = time.time() if now is None else now
+        return [
+            slot.job.id
+            for slot in self.slots
+            if slot.job is not None and slot.job.gen.deadline_s > 0
+            and now - slot.job.started > slot.job.gen.deadline_s
+        ]
+
+    def apply_expiry(self, job_ids: list[str]) -> None:
+        if not job_ids:
+            return
+        idset = set(job_ids)
         for slot in self.slots:
             job = slot.job
-            if job is not None and job.gen.deadline_s > 0 and (
-                    now - job.started > job.gen.deadline_s):
+            if job is not None and job.id in idset:
                 job.status = JobStatus.FAILED
                 job.error = f"deadline exceeded ({job.gen.deadline_s:.0f}s)"
                 job.output = _render_output(self.vocab, job)
-                job.finished = now
+                job.finished = time.time()
                 slot.job = None
+
+    def _expire_deadlines(self) -> None:
+        """Fail jobs that exceeded their wall-clock deadline (the
+        reference's unimplemented background watcher, server.go:55)."""
+        self.apply_expiry(self.expired_job_ids())
+
+    def enable_lockstep_admission(self) -> None:
+        """Gate admissions on tick agreement (see _agreed_n above)."""
+        with self._lock:
+            self._agreed_n = 0
+
+    def approve(self, n: int) -> None:
+        """Mark the next n queued jobs agreement-approved (replicas call
+        this after submitting the broadcast's jobs)."""
+        with self._lock:
+            if self._agreed_n is not None:
+                self._agreed_n += n
+
+    def drain_pending(self) -> list:
+        """Atomically take the not-yet-agreed queue tail (multi-host
+        agreement: the primary drains, broadcasts, then requeues the same
+        Job objects so HTTP references stay live)."""
+        with self._lock:
+            agreed = self._agreed_n or 0
+            jobs, self._queue = self._queue[agreed:], self._queue[:agreed]
+        return jobs
+
+    def requeue(self, jobs: list) -> None:
+        """Splice agreement-approved jobs in right behind the already-
+        approved prefix (submissions that raced in since the drain stay
+        behind them, awaiting the next tick's broadcast)."""
+        if not jobs:
+            return
+        with self._lock:
+            a = self._agreed_n or 0
+            self._queue = self._queue[:a] + list(jobs) + self._queue[a:]
+            if self._agreed_n is not None:
+                self._agreed_n += len(jobs)
+        self._wake.set()
 
     def run_forever(self, poll_interval: float = 0.05) -> None:
         """Engine loop (reference poll loop: server.go:84-106, 1s tick —

@@ -174,8 +174,11 @@ class JobServer:
         finally:
             self.engine.stop()
 
-    def start_background(self) -> None:
-        self.engine.start()
+    def start_background(self, start_engine: bool = True) -> None:
+        """start_engine=False leaves stepping to an external loop (the
+        multi-host lockstep tick, parallel/multihost.py:serve_lockstep)."""
+        if start_engine:
+            self.engine.start()
         handler = _make_handler(self)
         self._httpd = ThreadingHTTPServer((self.config.host, self.config.port), handler)
         threading.Thread(target=self._httpd.serve_forever, daemon=True).start()
