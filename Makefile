@@ -5,16 +5,21 @@
 
 PY ?= python
 
-.PHONY: all test test-fast native bench convert16 convert32 quantize8 quantize4 clean
+.PHONY: all test test-fast lint native bench convert16 convert32 quantize8 quantize4 clean
 
 all: native test
+
+# static hygiene (reference Makefile's ineffassign/staticcheck/misspell/
+# govet chain, Makefile:51-99; offline AST-based equivalent)
+lint:
+	$(PY) scripts/lint.py
 
 # native C++ data-path kernels (checkpoint IO / quantization; loaded via
 # ctypes with a numpy fallback, so tests pass without it too)
 native:
 	$(PY) -m llamago_tpu.native --build
 
-test:
+test: lint
 	$(PY) -m pytest tests/ -q
 
 test-fast:

@@ -150,6 +150,35 @@ def unstack_layer_params(params: Params, n_layers: int) -> Params:
     return {**params, "layers": per_layer}
 
 
+def export_ggjt_tensors(config: ModelConfig, params: Params) -> dict[str, np.ndarray]:
+    """Inverse of host_parameters for DENSE params: device-layout pytree
+    -> ggjt-named tensors in the file's row-major [out, in] layout,
+    ready for checkpoint/ggjt.py:write_ggjt. Used by the checkpoint
+    export path (e.g. saving a trained model; the reference has no
+    trainer and hence no exporter — SURVEY.md §2 C16)."""
+    def host2d(a):  # [in, out] device layout -> [out, in] file layout
+        return np.ascontiguousarray(np.asarray(jax.device_get(a)).T)
+
+    tensors: dict[str, np.ndarray] = {
+        "tok_embeddings.weight": np.asarray(jax.device_get(params["tok_embeddings"])),
+        "norm.weight": np.asarray(jax.device_get(params["norm"])),
+        "output.weight": host2d(params["output"]),
+    }
+    layers = params["layers"]
+    for i in range(config.n_layers):
+        for key, suffix in _LAYER_KEYS.items():
+            leaf = (layers[i][key] if isinstance(layers, (list, tuple))
+                    else jax.tree.map(lambda a: a[i], layers[key]))
+            if isinstance(leaf, dict):
+                raise ValueError("export_ggjt_tensors handles dense params; "
+                                 "quantize the FILE via checkpoint/quant_file.py")
+            arr = np.asarray(jax.device_get(leaf))
+            tensors[f"layers.{i}.{suffix}"] = (
+                np.ascontiguousarray(arr.T) if arr.ndim == 2 else arr
+            )
+    return tensors
+
+
 def random_parameters(
     config: ModelConfig,
     seed: int = 0,

@@ -69,8 +69,10 @@ def perplexity(
     for w in range(n_windows):
         window = ids[w * ctx : (w + 1) * ctx]
         nll = np.asarray(_window_nll(params, jnp.asarray(window[None, :]), config))
-        start = 0 if w == 0 else min_context  # first window: all positions count
-        start = min(start, len(nll) - 1)
+        # every window (including the first) skips its first min_context
+        # positions: they predict with little context and bias ppl upward
+        # (llama.cpp methodology)
+        start = min(min_context, len(nll) - 1)
         total_nll += float(nll[start:].sum())
         total_count += len(nll) - start
     mean_nll = total_nll / total_count

@@ -3,7 +3,6 @@ HF un-permutation, sp_model protobuf roundtrip — and an end-to-end logits
 parity check against HuggingFace transformers as an external oracle."""
 
 import json
-import os
 
 import numpy as np
 import pytest

@@ -11,8 +11,6 @@ import subprocess
 import sys
 import os
 
-import pytest
-
 WORKER = r"""
 import sys, os, json
 coordinator, nproc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])

@@ -1,6 +1,5 @@
 """Native C++ kernels (parity vs numpy) and Q8_0/Q4_0 ggjt file flow."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -45,7 +45,7 @@ def test_ppl_matches_numpy_oracle(tiny_config):
         logits = forward_full(tensors, config, window)
         logp = logits - np.log(np.exp(logits - logits.max(-1, keepdims=True)).sum(-1, keepdims=True)) - logits.max(-1, keepdims=True)
         nll = -logp[np.arange(31), window[1:]]
-        start = 0 if w == 0 else 4
+        start = 4  # every window skips min_context low-context positions
         total += nll[start:].sum()
         count += 31 - start
     want = math.exp(total / count)
