@@ -67,6 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dir", default=".", help="download dir for `load`")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace into ./profile/")
+    p.add_argument("--debug", action="store_true",
+                   help="runtime guards: jax NaN checking + engine "
+                        "invariant asserts (utils/debug.py)")
     # --- sampling knobs (reference hardcodes these, main.go:87-90)
     p.add_argument("--topk", type=int, default=40)
     p.add_argument("--topp", type=float, default=0.95)
@@ -141,6 +144,11 @@ def main(argv: list[str] | None = None) -> int:
         print("error: --model is required (or use the `load`/`convert` commands)",
               file=sys.stderr)
         return 2
+
+    if getattr(args, "debug", False):
+        from llamago_tpu.utils.debug import enable_debug_checks
+
+        enable_debug_checks()
 
     if args.multihost or args.coordinator:
         from llamago_tpu.parallel.mesh import initialize_distributed

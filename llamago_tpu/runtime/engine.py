@@ -41,6 +41,7 @@ from llamago_tpu.models.llama import forward, prefill_into_slot
 from llamago_tpu.ops.sampling import SamplerState, push_tokens, reset_slots, sample
 from llamago_tpu.runtime.kv_cache import KVCache
 from llamago_tpu.tokenizer import EOS_TOKEN, Vocab, detokenize, tokenize
+from llamago_tpu.utils import debug as _dbg
 
 
 @jax.jit
@@ -256,6 +257,12 @@ class Engine:
         while reuse > 0 and not self._fits(reuse, len(ids)):
             reuse = max(0, reuse - 16)
         job.reused_tokens = reuse
+        _dbg.check(self._fits(reuse, len(ids)),
+                   "prefix-reuse prefill would overrun the cache",
+                   reuse=reuse, n_ids=len(ids), ctx=self.config.max_seq_len)
+        _dbg.check(0 <= reuse <= slot.mapped,
+                   "reuse exceeds the slot's mapped prefix",
+                   reuse=reuse, mapped=slot.mapped)
 
         slot.job = job
         slot.history = list(ids)
@@ -291,6 +298,10 @@ class Engine:
             if slot.job is None or not slot.pending:
                 continue
             chunk = slot.pending[: self.prefill_chunk]
+            _dbg.check(
+                slot.pos + self._bucket(len(chunk)) <= self.config.max_seq_len,
+                "prefill chunk bucket would clamp past the cache end",
+                pos=slot.pos, chunk=len(chunk))
             t0 = time.time()
             self._prefill(i, chunk, write_pos=slot.pos)
             slot.job.eval_ms.append((time.time() - t0) * 1000.0)
