@@ -63,11 +63,38 @@ def _tile_k(k: int) -> int | None:
     return t
 
 
-def _tile_n(n: int) -> int:
-    # larger n-tiles first: a (tk, tn) tile of the row-major [K, N] weight
-    # reads tn contiguous bytes per row, and DMA efficiency rises with
-    # burst length (tn=256 profiled ~440 GB/s vs ~600 at tn=512 on v5e)
-    return _pick_tile(n, (2048, 1024, 512, 256, 128)) or n
+# Scoped VMEM is 16 MB; leave headroom for Mosaic's own temporaries.
+_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def _plan_tiles(m: int, k: int, n: int, bits: int) -> tuple[int, int] | None:
+    """Joint (tk, tn) choice under a VMEM model of the kernel's real
+    footprint. Larger n-tiles first: a (tk, tn) tile of the row-major
+    [K, N] weight reads tn contiguous bytes per row, and DMA efficiency
+    rises with burst length (tn=256 profiled ~440 GB/s vs ~600 at tn=512
+    on v5e) — but the f32 dequant intermediate (tk*tn*4) plus the x/out
+    tiles scale with the tile sizes, and a [512, 4096]x[4096, 12288]
+    prefill at tn=2048 measured 16.5 MB of scoped-VMEM stack, past the
+    16 MB hardware limit. The model below reproduces that failure and
+    clears at tn=1024 for the same shape."""
+    tk = _tile_k(k)
+    if tk is None:
+        return None
+    tm = max(8, m)
+    for tn in (2048, 1024, 512, 256, 128):
+        if n % tn:
+            continue
+        q_bytes = tk * tn if bits == 8 else tk * tn // 2
+        est = (
+            tk * tn * 4           # dequantized w tile, f32
+            + tm * tk * 4         # x tile (f32 dot path)
+            + tm * tn * 4         # f32 output tile
+            + 2 * q_bytes         # quantized block, double-buffered
+            + 2 * (tk // QK) * tn * 2  # scales, double-buffered
+        )
+        if est <= _VMEM_BUDGET:
+            return tk, tn
+    return None
 
 
 def can_fuse(x: jnp.ndarray, w: dict) -> bool:
@@ -91,11 +118,11 @@ def can_fuse_local(x: jnp.ndarray, w: dict) -> bool:
         return False
     if "m" in w:  # Q4_1 affine blocks take the XLA dequant path
         return False
-    tk, tn = _tile_k(k), _tile_n(n)
-    if tk is None:
-        return False
-    # weight block must fit VMEM (double-buffered by the pipeline)
-    return tk * tn <= 4 * 1024 * 1024
+    m = 1
+    for d in x.shape[:-1]:
+        m *= d
+    bits = 8 if "q8" in w else 4
+    return _plan_tiles(m, k, n, bits) is not None
 
 
 def _dequant_mm_kernel_so(xt_ref, q_ref, s_ref, o_ref, *, bits: int, tk: int,
@@ -206,8 +233,7 @@ SCALE_ON_OUTPUT_MAX_M = int(_os.environ.get("LLAMAGO_KERNEL_SO_MAX_M", "0"))
 def _dequant_matmul_2d(x: jnp.ndarray, q: jnp.ndarray, s: jnp.ndarray, bits: int):
     m, k = x.shape
     n = s.shape[-1]
-    tk = _tile_k(k)
-    tn = _tile_n(n)
+    tk, tn = _plan_tiles(m, k, n, bits)  # callers gate via can_fuse
     tm = max(8, m)
     if m < tm:
         x = jnp.pad(x, ((0, tm - m), (0, 0)))
@@ -254,8 +280,15 @@ def _dequant_matmul_2d(x: jnp.ndarray, q: jnp.ndarray, s: jnp.ndarray, bits: int
     return out[:m]
 
 
+@jax.custom_vjp
 def dequant_matmul(x: jnp.ndarray, w: dict) -> jnp.ndarray:
-    """x [..., K] @ blockwise-quantized w {q8|q4, s} -> [..., N]."""
+    """x [..., K] @ blockwise-quantized w {q8|q4, s} -> [..., N].
+
+    Differentiable wrt x (custom VJP: pallas_call has no autodiff rule;
+    the backward pass is g @ dequantize(w)^T through jnp) — quantized
+    weights are frozen, which is exactly the QLoRA-style fine-tuning
+    contract. Weight cotangents are symbolic zeros.
+    """
     bits = 8 if "q8" in w else 4
     q = w["q8"] if bits == 8 else w["q4"]
     *lead, k = x.shape
@@ -264,6 +297,29 @@ def dequant_matmul(x: jnp.ndarray, w: dict) -> jnp.ndarray:
         m *= d
     out = _dequant_matmul_2d(x.reshape(m, k), q, w["s"], bits)
     return out.reshape(*lead, w["s"].shape[-1]).astype(x.dtype)
+
+
+def _dm_fwd(x, w):
+    return dequant_matmul(x, w), (x, w)
+
+
+def _dm_bwd(res, g):
+    import numpy as np
+
+    from llamago_tpu.ops.quant import dequantize
+
+    x, w = res
+    deq = dequantize(w, dtype=x.dtype)  # [K, N]
+    dx = jnp.einsum("...n,kn->...k", g.astype(x.dtype), deq)
+    dw = {
+        k: (jnp.zeros_like(a) if jnp.issubdtype(a.dtype, jnp.floating)
+            else np.zeros(a.shape, jax.dtypes.float0))
+        for k, a in w.items()
+    }
+    return dx, dw
+
+
+dequant_matmul.defvjp(_dm_fwd, _dm_bwd)
 
 
 # --------------------------------------------------------------- RMSNorm

@@ -180,3 +180,23 @@ def test_sharded_forward_fused_matches_single_device(tp, dp):
                               return_all_logits=True)
         got = np.asarray(got)
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_dequant_matmul_grad_matches_jnp():
+    """The fused kernel's custom VJP (grad wrt x; weights frozen) matches
+    the jnp dequantize-then-dot gradient."""
+    k, n = 128, 256
+    qw = _quant_pair(k, n, 8, seed=5)
+    x = jnp.asarray(
+        np.random.default_rng(6).standard_normal((2, k)).astype(np.float32)
+    )
+    kernels.FORCE_INTERPRET = True
+    try:
+        gx = jax.grad(lambda x_: kernels.dequant_matmul(x_, qw).sum())(x)
+    finally:
+        kernels.FORCE_INTERPRET = False
+    ref = jax.grad(
+        lambda x_: jnp.dot(x_, quant.dequantize(qw, jnp.float32)).sum()
+    )(x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
