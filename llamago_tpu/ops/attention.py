@@ -54,15 +54,30 @@ NEG_INF = float("-inf")
 _KV_BYTES_MAX = 2 * 1024 * 1024  # single-buffer K+V per program
 _SCORE_BYTES_MAX = 4 * 1024 * 1024
 
-# Workload floors below which the jnp path wins: each pallas_call carries
-# a fixed dispatch cost (~0.5-1.5 ms measured through this environment's
-# TPU tunnel; smaller but nonzero on production XLA), so the kernel must
-# move enough bytes to amortize it. Decode attention is cache-read bound:
-# require >=256 MB of K/V traffic per call. Prefill attention is
-# score-materialization bound in the jnp path (it round-trips
-# [B,H,T,S] f32 scores through HBM twice): require >=32 MB of scores.
-_MIN_DECODE_TRAFFIC = 256 * 1024 * 1024
-_MIN_PREFILL_SCORES = 32 * 1024 * 1024
+# Engagement floors, RE-DERIVED on v5e by in-model A/B (bench.py and a
+# steady-state prefill timer, using the env overrides below) rather than
+# dispatch-cost guesses. Measured, kernel forced ON vs the jnp path,
+# 7B int8:
+#
+#   decode  b=1 ctx=1024 (17 MB K/V per call):   53.0 vs 67.4 tok/s
+#   decode  b=8 ctx=1024 (134 MB K/V per call): 225.6 vs 262.9 tok/s
+#   prefill bucket 64 (serving TTFT p50):        234 vs 189 ms
+#   prefill T=512 b=1 (268 MB of f32 scores):  148.5 vs 138.0 ms
+#
+# XLA's native attention lowering wins at EVERY measured shape on this
+# chip/compiler generation — its fused softmax+matmul pipeline never
+# materializes the scores the way a naive einsum reading would suggest.
+# The defaults therefore keep the kernel OFF in production shapes; it
+# stays fully tested (interpret-mode suite ignores floors) and one env
+# var away for re-derivation on hardware where the balance differs:
+# LLAMAGO_ATTN_DECODE_FLOOR / LLAMAGO_ATTN_PREFILL_FLOOR, in bytes.
+import os as _os
+
+_GB = 1024 * 1024 * 1024
+_MIN_DECODE_TRAFFIC = int(_os.environ.get(
+    "LLAMAGO_ATTN_DECODE_FLOOR", 1024 * _GB))
+_MIN_PREFILL_SCORES = int(_os.environ.get(
+    "LLAMAGO_ATTN_PREFILL_FLOOR", 1024 * _GB))
 
 
 def _tiles(t: int, g: int, kv: int, s: int, hd: int, itemsize: int):
