@@ -200,3 +200,36 @@ def test_dequant_matmul_grad_matches_jnp():
     )(x)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_engine_serves_on_sharded_params():
+    """End-to-end --tp serving path: engine + sampler + prefill + decode
+    on mesh-sharded quantized params with the shard_map kernels active
+    (the exact CLI path under `--tp 2 --weight-dtype int8`)."""
+    from conftest import make_test_vocab, random_ggjt_tensors
+
+    from llamago_tpu.checkpoint.params import load_parameters
+    from llamago_tpu.config import GenerateConfig, MODEL_PRESETS
+    from llamago_tpu.runtime.engine import Engine, JobStatus
+
+    vocab = make_test_vocab()
+    config = MODEL_PRESETS["tiny"].replace(
+        vocab_size=len(vocab), dtype="float32", weight_dtype="int8",
+        max_seq_len=64,
+    )
+    tensors = random_ggjt_tensors(config, seed=13)
+    with active_mesh(make_mesh(tp=2, dp=1)) as mesh:
+        shardings = param_shardings(config, mesh)
+        params = load_parameters(config, tensors, shardings=shardings)
+        engine = Engine(config, params, vocab, slots=2, decode_chunk_size=1)
+        gen = GenerateConfig(max_tokens=6, ctx_size=64, temp=0.0)
+        jobs = [engine.submit("hello world", gen),
+                engine.submit("hi there", gen)]
+        for _ in range(200):
+            engine.step()
+            if all(j.status in (JobStatus.FINISHED, JobStatus.FAILED)
+                   for j in jobs):
+                break
+        assert all(j.status == JobStatus.FINISHED for j in jobs), [
+            (j.status, j.error) for j in jobs]
+        assert all(len(j.output_tokens) > 0 for j in jobs)
