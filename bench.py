@@ -424,6 +424,120 @@ def bench_hbm() -> dict:
     }
 
 
+def bench_shard70b() -> dict:
+    """Fused dequant-matmul streaming efficiency at EXACTLY the BASELINE
+    target shapes: one tp=8 shard of LLaMA-2-70B INT4 (GQA 64/8 heads,
+    dim 8192, ffn 28672 -> per-shard wq [8192,1024], wk/wv [8192,128],
+    wo [1024,8192], w1/w3 [8192,3584], w2 [3584,8192], 80 layers,
+    ~4.6 GB of int4+scales). One chip holds the whole shard, so the
+    per-shard kernel rate — the thing the >=90%-of-roofline target
+    (BASELINE.md) constrains — is measured directly; ICI collectives are
+    orthogonal (they overlap or add ~alpha+bytes/bw on top, and the
+    dryrun validates the sharded program itself).
+
+    The measurement is in-model style: all 80 layers' matmuls chained
+    inside ONE jitted lax.scan (isolated single-kernel probes measured
+    2-4x low through this transport — see git history), value = achieved
+    weight GB/s over the scan vs the same-run delta-method HBM ceiling.
+    """
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from llamago_tpu.ops import quant
+
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:  # tiny smoke shapes off-TPU
+        dim, q_out, kv_out, ffn, layers = 256, 64, 32, 96, 2
+    else:
+        dim, q_out, kv_out, ffn, layers = 8192, 1024, 128, 3584, 80
+
+    hbm_gbps = measure_hbm_gbps(jax, size_mb=512 if on_tpu else 64)
+
+    shapes = {
+        "wq": (dim, q_out), "wk": (dim, kv_out), "wv": (dim, kv_out),
+        "wo": (q_out, dim), "w1": (dim, ffn), "w3": (dim, ffn),
+        "w2": (ffn, dim),
+    }
+    key = jax.random.PRNGKey(0)
+
+    def make_layer(i):
+        nonlocal key
+        layer = {}
+        for name, (k_, n_) in shapes.items():
+            key, sub = jax.random.split(key)
+            w = jax.random.normal(sub, (k_, n_), jnp.bfloat16) * 0.02
+            layer[name] = quant.quantize(w, 4)
+        return layer
+
+    stack = [make_layer(i) for i in range(layers)]
+    # layer-stacked pytree for scan (leaves [L, ...])
+    stacked = {
+        name: {part: jnp.stack([lyr[name][part] for lyr in stack])
+               for part in stack[0][name]}
+        for name in shapes
+    }
+    _sync(stacked["w2"]["q4"])
+    weight_bytes = sum(
+        leaf.size * leaf.dtype.itemsize for leaf in jax.tree.leaves(stacked)
+    )
+
+    x0 = jnp.ones((1, dim), jnp.bfloat16)
+    h0 = jnp.ones((1, ffn), jnp.bfloat16)
+    a0 = jnp.ones((1, q_out), jnp.bfloat16)
+    n_steps = int(os.environ.get("BENCH_TOKENS", "32" if on_tpu else "4"))
+
+    @jax.jit
+    def sweep(x, h, a):
+        # every matmul of every layer, serialized by a data dependency,
+        # weights read from HBM once per outer step
+        def outer(carry, _):
+            x, h, a = carry
+
+            def layer_step(carry, lw):
+                x, h, a = carry
+                q = quant.quant_matmul(x, lw["wq"])          # [1, q_out]
+                kv = quant.quant_matmul(x, lw["wk"])
+                kv = kv + quant.quant_matmul(x, lw["wv"])
+                o = quant.quant_matmul(a, lw["wo"])          # [1, dim]
+                g = quant.quant_matmul(x, lw["w1"])
+                u = quant.quant_matmul(x, lw["w3"])
+                d = quant.quant_matmul(h, lw["w2"])          # [1, dim]
+                x = (x + o + d) * 0.5
+                h = (g + u) * 0.5
+                a = q + jnp.pad(kv, ((0, 0), (0, q.shape[-1] - kv.shape[-1])))
+                return (x, h, a), None
+
+            carry, _ = jax.lax.scan(layer_step, (x, h, a), stacked)
+            return carry, None
+
+        (x, h, a), _ = jax.lax.scan(outer, (x, h, a), None, length=n_steps)
+        return x, h, a
+
+    x, h, a = sweep(x0, h0, a0)
+    _sync(x)  # compile + warm
+    t0 = time.time()
+    x, h, a = sweep(x, h, a)
+    _sync(x)
+    dt = time.time() - t0
+    achieved = weight_bytes * n_steps / dt / 1e9
+    pct = 100.0 * achieved / hbm_gbps if hbm_gbps else 0.0
+    sys.stderr.write(
+        f"[bench-70b-shard] layers={layers} weight_bytes={weight_bytes/1e9:.2f}GB "
+        f"steps={n_steps} in {dt:.2f}s | hbm={hbm_gbps:.0f} GB/s "
+        f"achieved={achieved:.0f} GB/s ({pct:.0f}%)\n"
+    )
+    return {
+        "metric": "dequant_matmul_stream_70B_int4_tp8_shard",
+        "value": round(achieved, 1),
+        "unit": "GB/s",
+        "vs_baseline": round(pct / 100.0, 3),  # fraction of measured roofline
+        "hbm_gbps": round(hbm_gbps, 1),
+        "roofline_pct": round(pct, 1),
+        "target": ">=90% of per-chip HBM roofline (BASELINE.md)",
+    }
+
+
 def bench_matrix() -> dict:
     """Run the recorded benchmark battery and write each result to
     bench_artifacts/ (VERDICT r1: configs must exist as artifacts, not
@@ -469,7 +583,8 @@ def bench_matrix() -> dict:
 def main() -> None:
     mode = os.environ.get("BENCH_MODE", "decode")
     fn = {"decode": bench_decode, "serve": bench_serve,
-          "hbm": bench_hbm, "matrix": bench_matrix}[mode]
+          "hbm": bench_hbm, "matrix": bench_matrix,
+          "shard70b": bench_shard70b}[mode]
     print(json.dumps(fn()))
 
 
