@@ -89,6 +89,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tensor-parallel size [0 = all local devices]")
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel size (decode-slot replication) [1]")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel size (KV cache sharded along "
+                        "positions; long-context scaling) [1]")
     p.add_argument("--chunk", type=int, default=0,
                    help="on-device decode chunk size (tokens per host sync) "
                         "[0 = auto: 16 on TPU, 1 elsewhere]")
@@ -219,18 +222,19 @@ def _load_engine(args):
     shardings = None
     n_dev = len(jax.devices())  # global count under jax.distributed
     dp = max(args.dp, 1)
-    tp = args.tp if args.tp > 0 else n_dev // dp
-    if tp * dp > 1:
+    sp = max(getattr(args, "sp", 1), 1)
+    tp = args.tp if args.tp > 0 else n_dev // (dp * sp)
+    if tp * dp * sp > 1:
         from llamago_tpu.parallel import make_mesh, param_shardings
         from llamago_tpu.parallel.tp_kernels import activate_mesh
 
-        mesh = make_mesh(tp=tp, dp=dp)
+        mesh = make_mesh(tp=tp, dp=dp, sp=sp)
         shardings = param_shardings(config, mesh)
         # fused Pallas kernels run per-shard via shard_map under the mesh
         # (parallel/tp_kernels.py); global-value fusion stays off.
         activate_mesh(mesh)
     params = load_parameters(config, ckpt.tensors, shardings=shardings)
-    if tp * dp <= 1:
+    if tp * dp * sp <= 1:
         # single-chip fast path: unstack to per-layer weights (the fused
         # Pallas kernels read them straight from HBM, and the unrolled
         # forward compiles far faster than the scan graph) and fuse the

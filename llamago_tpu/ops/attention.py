@@ -245,6 +245,56 @@ def attention_math(
     return out.reshape(b, t, h * hd).astype(q.dtype)
 
 
+def attention_math_sp(q, k_cache, v_cache, positions, axis: str = "sp"):
+    """Attention over a SEQUENCE-SHARDED cache (called inside shard_map;
+    `axis` shards the S dim). Each shard sees S/sp cache rows starting at
+    axis_index*S/sp, computes masked partial softmax statistics over its
+    rows, and the shards combine with one pmax + two psums — the
+    numerically-stable two-pass flash combine:
+
+        out = sum_i exp(m_i - M) V_i  /  sum_i exp(m_i - M) s_i,
+        M = max_i m_i
+
+    The combine traffic is per-(batch, head, query): tiny next to the
+    cache reads it shards, so long-context attention scales to
+    sp * HBM-per-chip of cache. This is the SURVEY §2.3 SP/ring-attention
+    stretch in all-gather-free form (stats ride psum, K/V never move)."""
+    b, t, h, hd = q.shape
+    s_l = k_cache.shape[2]  # local cache rows
+    kv = k_cache.shape[1]
+    g = h // kv
+
+    offset = jax.lax.axis_index(axis) * s_l
+    qg = q.reshape(b, t, kv, g, hd)
+    scale = 1.0 / (hd**0.5)
+    acc = jnp.promote_types(q.dtype, jnp.float32)
+    scores = jnp.einsum("btkgd,bksd->bkgts", qg, k_cache,
+                        preferred_element_type=acc)
+    scores = scores * scale
+
+    slot = offset + jnp.arange(s_l, dtype=jnp.int32)
+    allowed = slot[None, None, :] <= positions[:, :, None]  # [B, T, S_l]
+    scores = jnp.where(allowed[:, None, None, :, :], scores, NEG_INF)
+
+    m = jnp.max(scores, axis=-1, keepdims=True)  # [B,KV,G,T,1]; -inf ok
+    # global max via all_gather+max rather than pmax: same collective
+    # cost at this (tiny) stat size, and it is differentiable — pmax has
+    # no autodiff rule, and the training step runs through this path
+    m_global = jnp.max(jax.lax.all_gather(m, axis), axis=0)
+    # fully-masked shards contribute exp(-inf - M) = 0; M itself is
+    # finite because slot 0 (shard 0) is visible to every position >= 0
+    p = jnp.exp(scores - jax.lax.stop_gradient(m_global))
+    denom = jax.lax.psum(jnp.sum(p, axis=-1, keepdims=True), axis)
+    num = jax.lax.psum(
+        jnp.einsum("bkgts,bksd->bkgtd", p.astype(acc), v_cache.astype(acc)),
+        axis,
+    )
+    out = num / denom  # [B,KV,G,T,hd]
+    return (
+        out.transpose(0, 3, 1, 2, 4).reshape(b, t, h * hd).astype(q.dtype)
+    )
+
+
 @jax.custom_vjp
 def flash_attention(
     q: jnp.ndarray,  # [B, T, H, hd] (roped)

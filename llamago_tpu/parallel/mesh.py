@@ -10,6 +10,10 @@ communication code in the model.
 
 Axes:
   dp — data parallel over decode slots (throughput scaling)
+  sp — sequence parallel over KV-cache positions (long-context scaling:
+       each shard holds S/sp cache rows; attention combines partial
+       softmax statistics with psum/pmax over the axis — see
+       parallel/tp_kernels.py:maybe_tp_attention)
   tp — tensor parallel over heads / FFN / vocab (latency + model scaling)
 
 Multi-host: the same mesh spans hosts via jax.distributed; ICI carries
@@ -22,19 +26,20 @@ import numpy as np
 from jax.sharding import Mesh
 
 
-def make_mesh(tp: int = 1, dp: int = 1, devices=None) -> Mesh:
-    """Build a (dp, tp) mesh. tp should map to the fastest interconnect —
-    JAX device order already enumerates ICI neighbors contiguously, so the
-    trailing axis rides ICI."""
+def make_mesh(tp: int = 1, dp: int = 1, sp: int = 1, devices=None) -> Mesh:
+    """Build a (dp, sp, tp) mesh. tp should map to the fastest
+    interconnect — JAX device order already enumerates ICI neighbors
+    contiguously, so the trailing axis rides ICI; sp's combine traffic is
+    tiny (per-head partial softmax stats) so it sits outside tp."""
     import jax
 
     if devices is None:
         devices = jax.devices()
-    n = tp * dp
+    n = tp * dp * sp
     if n > len(devices):
         raise ValueError(f"mesh needs {n} devices, have {len(devices)}")
-    grid = np.asarray(devices[:n]).reshape(dp, tp)
-    return Mesh(grid, axis_names=("dp", "tp"))
+    grid = np.asarray(devices[:n]).reshape(dp, sp, tp)
+    return Mesh(grid, axis_names=("dp", "sp", "tp"))
 
 
 def initialize_distributed(coordinator: str | None = None,

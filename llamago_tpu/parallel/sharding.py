@@ -104,11 +104,12 @@ def param_shardings(config: ModelConfig, mesh: Mesh):
 
 
 def cache_sharding(config: ModelConfig, mesh: Mesh) -> NamedSharding:
-    """KV cache [L, B, KV, S, hd]: kv_heads on tp, batch slots on dp."""
-    spec = P(None, "dp", "tp", None, None)
-    if config.kv_heads % mesh.shape["tp"] != 0:
-        spec = P(None, "dp", None, None, None)
-    return NamedSharding(mesh, spec)
+    """KV cache [L, B, KV, S, hd]: kv_heads on tp, batch slots on dp,
+    cache positions on sp (sequence parallel, long-context scaling)."""
+    tp_ax = "tp" if config.kv_heads % mesh.shape["tp"] == 0 else None
+    sp = mesh.shape.get("sp", 1)
+    sp_ax = "sp" if sp > 1 and config.max_seq_len % sp == 0 else None
+    return NamedSharding(mesh, P(None, "dp", tp_ax, sp_ax, None))
 
 
 def logits_sharding(mesh: Mesh) -> NamedSharding:

@@ -157,21 +157,35 @@ def maybe_tp_attention(attn_fn, q, k_cache, v_cache, positions):
         return None
     tp = mesh.shape.get("tp", 1)
     dp = mesh.shape.get("dp", 1)
+    sp = mesh.shape.get("sp", 1)
     b, t, h, hd = q.shape
     kv = k_cache.shape[1]
+    s = k_cache.shape[2]
     tp_ok = tp > 1 and h % tp == 0 and kv % tp == 0
+    sp_ok = sp > 1 and s % sp == 0
     bspec = "dp" if (dp > 1 and b % dp == 0) else None
-    if not tp_ok and bspec is None:
+    if not tp_ok and not sp_ok and bspec is None:
         return None
     hspec = "tp" if tp_ok else None
+    sspec = "sp" if sp_ok else None
 
     q_spec = P(bspec, None, hspec, None)
-    kv_spec = P(bspec, hspec, None, None)
+    kv_spec = P(bspec, hspec, sspec, None)
     pos_spec = P(bspec, None)
     out_spec = P(bspec, None, hspec)  # [B, T, H*hd]
 
+    if sp_ok:
+        # sequence-parallel body: partial softmax stats per cache shard,
+        # combined with pmax/psum over "sp" (ops/attention.py) — composes
+        # with the tp head split (collectives stay within the sp axis)
+        from llamago_tpu.ops.attention import attention_math_sp
+
+        body = attention_math_sp
+    else:
+        body = attn_fn
+
     return jax.shard_map(
-        attn_fn, mesh=mesh,
+        body, mesh=mesh,
         in_specs=(q_spec, kv_spec, kv_spec, pos_spec),
         out_specs=out_spec, check_vma=False,
     )(q, k_cache, v_cache, positions)

@@ -161,7 +161,25 @@ class Engine:
         # the 7B scan graph — and need a layered cache so XLA aliases
         # each layer's update in place
         layered = isinstance(params.get("layers"), (list, tuple))
-        self.cache = KVCache.create(config, batch=slots, layered=layered)
+        from llamago_tpu.ops import kernels as _kernels
+
+        cache_shard = None
+        if _kernels.ACTIVE_MESH is not None and not layered:
+            # stored layout matches the attention shard_map specs (kv
+            # heads on tp, positions on sp, slots on dp) so decode steps
+            # don't reshard the cache on every call
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from llamago_tpu.parallel.sharding import cache_sharding
+
+            cache_shard = cache_sharding(config, _kernels.ACTIVE_MESH)
+            if slots % _kernels.ACTIVE_MESH.shape.get("dp", 1) != 0:
+                spec = list(cache_shard.spec) + [None] * (5 - len(cache_shard.spec))
+                spec[1] = None  # slot count doesn't divide dp: replicate
+                cache_shard = NamedSharding(cache_shard.mesh,
+                                            PartitionSpec(*spec))
+        self.cache = KVCache.create(config, batch=slots, layered=layered,
+                                    sharding=cache_shard)
         self.sampler_state = SamplerState.create(
             slots, config.max_seq_len, config.vocab_size
         )

@@ -16,7 +16,9 @@ from conftest import random_ggjt_tensors
 
 def test_mesh_shape():
     mesh = make_mesh(tp=4, dp=2)
-    assert mesh.shape == {"dp": 2, "tp": 4}
+    assert dict(mesh.shape) == {"dp": 2, "sp": 1, "tp": 4}
+    mesh = make_mesh(tp=2, dp=2, sp=2)
+    assert dict(mesh.shape) == {"dp": 2, "sp": 2, "tp": 2}
     with pytest.raises(ValueError, match="devices"):
         make_mesh(tp=16, dp=2)
 

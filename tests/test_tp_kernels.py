@@ -233,3 +233,61 @@ def test_engine_serves_on_sharded_params():
         assert all(j.status == JobStatus.FINISHED for j in jobs), [
             (j.status, j.error) for j in jobs]
         assert all(len(j.output_tokens) > 0 for j in jobs)
+
+
+def test_sp_attention_matches_reference():
+    """Sequence-parallel attention (cache sharded along S, cross-shard
+    softmax combine) must equal single-device attention."""
+    from llamago_tpu.models.llama import _attention_local, _attention_math
+
+    b, t, h, kv, s, hd = 2, 1, 4, 4, 64, 32
+    rng = np.random.default_rng(8)
+    q = jnp.asarray(rng.standard_normal((b, t, h, hd)).astype(np.float32))
+    kc = jnp.asarray(rng.standard_normal((b, kv, s, hd)).astype(np.float32))
+    vc = jnp.asarray(rng.standard_normal((b, kv, s, hd)).astype(np.float32))
+    # mid-stream positions: some cache shards fully masked on high shards
+    pos = jnp.full((b, t), 17, jnp.int32)
+    ref = _attention_math(q, kc, vc, pos)
+    with active_mesh(make_mesh(tp=1, dp=2, sp=4)):
+        out = maybe_tp_attention(_attention_local, q, kc, vc, pos)
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    # composed with a tp head split
+    with active_mesh(make_mesh(tp=2, dp=2, sp=2)):
+        out2 = maybe_tp_attention(_attention_local, q, kc, vc, pos)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_sp_forward_matches_single_device():
+    """Full forward with the KV cache sequence-sharded (sp=4) equals the
+    single-device forward."""
+    from llamago_tpu.checkpoint.params import random_parameters
+    from llamago_tpu.models.llama import forward_impl
+    from llamago_tpu.runtime.kv_cache import KVCache
+
+    config = ModelConfig(vocab_size=128, dim=64, n_layers=2, n_heads=4,
+                         n_kv_heads=4, multiple_of=32, max_seq_len=64,
+                         dtype="float32", weight_dtype="float32")
+    tokens = jnp.asarray(
+        np.random.default_rng(9).integers(0, 128, (2, 8)).astype(np.int32))
+    pos = jnp.zeros(2, jnp.int32)
+
+    jax.clear_caches()
+    params = random_parameters(config, seed=15)
+    cache = KVCache.create(config, batch=2, dtype=jnp.float32)
+    ref, _ = forward_impl(params, tokens, cache, pos, config,
+                          return_all_logits=True)
+    ref = np.asarray(ref)
+    jax.clear_caches()
+
+    with active_mesh(make_mesh(tp=1, dp=2, sp=4), interpret=False) as mesh:
+        shardings = param_shardings(config, mesh)
+        params_s = random_parameters(config, seed=15, shardings=shardings)
+        cache_s = KVCache.create(config, batch=2, dtype=jnp.float32,
+                                 sharding=cache_sharding(config, mesh))
+        got, new_cache = forward_impl(params_s, tokens, cache_s, pos, config,
+                                      return_all_logits=True)
+        got = np.asarray(got)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
