@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dir", default=".", help="download dir for `load`")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace into ./profile/")
+    # accepted for drop-in compatibility with llama.go invocations
+    # (main.go:39-40); SIMD selection is XLA's job on TPU
+    p.add_argument("--avx", action="store_true", help=argparse.SUPPRESS)
+    p.add_argument("--neon", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--debug", action="store_true",
                    help="runtime guards: jax NaN checking + engine "
                         "invariant asserts (utils/debug.py)")

@@ -184,3 +184,18 @@ def test_stop_at_eos_override(server):
     assert st["status"] == "finished"
     _, job = req(server, "GET", f"/jobs/{jid}")
     assert job["status"] == "finished"
+
+
+def test_cli_accepts_all_reference_flags():
+    """Drop-in flag parity: every flag llama.go's Options struct defines
+    (reference: main.go:24-41) parses here, including the hardware-SIMD
+    toggles we accept as no-ops."""
+    from llamago_tpu.cli import build_parser
+
+    argv = ["--prompt", "hi", "--model", "m.bin", "--server",
+            "--host", "0.0.0.0", "--port", "8080", "--pods", "4",
+            "--threads", "8", "--context", "1024", "--predict", "512",
+            "--temp", "0.5", "--silent", "--chat", "--dir", ".",
+            "--profile", "--avx", "--neon"]
+    args = build_parser().parse_args(argv)
+    assert args.model == "m.bin" and args.pods == 4 and args.avx

@@ -202,10 +202,12 @@ def test_dequant_matmul_grad_matches_jnp():
                                rtol=1e-4, atol=1e-4)
 
 
-def test_engine_serves_on_sharded_params():
-    """End-to-end --tp serving path: engine + sampler + prefill + decode
-    on mesh-sharded quantized params with the shard_map kernels active
-    (the exact CLI path under `--tp 2 --weight-dtype int8`)."""
+@pytest.mark.parametrize("tp,sp", [(2, 1), (2, 2)])
+def test_engine_serves_on_sharded_params(tp, sp):
+    """End-to-end --tp/--sp serving path: engine + sampler + prefill +
+    decode on mesh-sharded quantized params with the shard_map kernels
+    active (the exact CLI path under `--tp 2 [--sp 2] --weight-dtype
+    int8`), including the sequence-sharded KV cache."""
     from conftest import make_test_vocab, random_ggjt_tensors
 
     from llamago_tpu.checkpoint.params import load_parameters
@@ -218,7 +220,7 @@ def test_engine_serves_on_sharded_params():
         max_seq_len=64,
     )
     tensors = random_ggjt_tensors(config, seed=13)
-    with active_mesh(make_mesh(tp=2, dp=1)) as mesh:
+    with active_mesh(make_mesh(tp=tp, dp=1, sp=sp)) as mesh:
         shardings = param_shardings(config, mesh)
         params = load_parameters(config, tensors, shardings=shardings)
         engine = Engine(config, params, vocab, slots=2, decode_chunk_size=1)
