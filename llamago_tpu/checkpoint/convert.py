@@ -335,20 +335,27 @@ def convert(
         n_kv_heads=hparams.get("n_kv_heads"),
         multiple_of=hparams.get("multiple_of", 256),
         ffn_dim=hparams.get("ffn_dim"),
+        rope_theta=float(hparams.get("rope_theta", 10000.0)),
+        norm_eps=float(hparams.get("norm_eps", 1e-5)),
     )
 
     if out_path is None:
         suffix = "vocab" if vocab_only else ("f32" if ftype == 0 else "f16")
         out_path = os.path.join(dir_model, f"ggjt-model-{suffix}.bin")
 
+    from llamago_tpu.checkpoint.ggjt import write_meta_sidecar
+
     if fmt == "meta" and not vocab_only:
         # constant-memory path: parts stream to final file offsets
         stream_meta_to_ggjt(dir_model, out_path, config, vocab, ftype,
                             hparams=hparams)
+        write_meta_sidecar(out_path, config)
         return out_path
 
     out = {name: _coerce(arr, ftype) for name, arr in tensors.items()}
     write_ggjt(out_path, config, vocab, out, ftype=ftype)
+    if not vocab_only:
+        write_meta_sidecar(out_path, config)
     return out_path
 
 

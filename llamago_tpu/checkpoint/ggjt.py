@@ -165,16 +165,69 @@ def read_ggjt(path: str, max_seq_len: int = 1024) -> GGJTCheckpoint:
     weight_dtype = {0: "float32", 1: "bfloat16", 2: "int4", 3: "int4", 7: "int8"}.get(
         ftype, "bfloat16"
     )
+    # The v1 header predates GQA and non-default RoPE: n_kv_heads and the
+    # FFN width are INFERRED from tensor shapes (shape facts, so LLaMA-2
+    # 70B / LLaMA-3 files round-trip correctly; the reference loader
+    # would mis-load them as MHA), and rope_theta rides an optional
+    # sidecar written by our converter (see read/write_meta_sidecar) so
+    # reference-produced files stay byte-compatible.
+    head_dim = dim // n_heads
+    n_kv_heads = None
+    ffn_dim = None
+    wk = tensors.get("layers.0.attention.wk.weight")
+    if wk is not None:
+        kv_out = wk.shape[0]  # [out, in] layout
+        if kv_out % head_dim == 0 and kv_out // head_dim != n_heads:
+            n_kv_heads = kv_out // head_dim
+    w1 = tensors.get("layers.0.feed_forward.w1.weight")
+    if w1 is not None:
+        ffn_dim = int(w1.shape[0])
+    extra = read_meta_sidecar(path)
     config = ModelConfig(
         vocab_size=vocab_size,
         dim=dim,
         n_layers=n_layers,
         n_heads=n_heads,
+        n_kv_heads=n_kv_heads,
+        ffn_dim=ffn_dim,
         multiple_of=multiple_of,
         max_seq_len=max_seq_len,
         weight_dtype=weight_dtype,
+        rope_theta=float(extra.get("rope_theta", 10000.0)),
+        norm_eps=float(extra.get("norm_eps", 1e-5)),
     )
     return GGJTCheckpoint(config=config, vocab=vocab, tensors=tensors, ftype=ftype)
+
+
+def sidecar_path(path: str) -> str:
+    return path + ".meta.json"
+
+
+def read_meta_sidecar(path: str) -> dict:
+    """Optional `<model>.bin.meta.json` with fields the v1 header cannot
+    carry (rope_theta, norm_eps). Absent for reference-produced files."""
+    import json
+    import os
+
+    p = sidecar_path(path)
+    if not os.path.exists(p):
+        return {}
+    with open(p, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def write_meta_sidecar(path: str, config: ModelConfig) -> None:
+    """Write the sidecar only when the config departs from v1 defaults."""
+    import json
+
+    extra = {}
+    if config.rope_theta != 10000.0:
+        extra["rope_theta"] = config.rope_theta
+    if config.norm_eps != 1e-5:
+        extra["norm_eps"] = config.norm_eps
+    if extra:
+        with open(sidecar_path(path), "w", encoding="utf-8") as f:
+            json.dump(extra, f)
 
 
 def write_ggjt(

@@ -190,6 +190,10 @@ def quantize_ggjt(in_path: str, out_path: str, kind: str = "q8_0") -> str:
             out[name] = np.asarray(arr)
     ftype = {"q8_0": 7, "q4_0": 2, "q4_1": 3}[kind]  # llama.cpp codes
     write_ggjt(out_path, ckpt.config, ckpt.vocab, out, ftype=ftype)
+    # carry the metadata the v1 header can't (rope_theta etc.) along
+    from llamago_tpu.checkpoint.ggjt import write_meta_sidecar
+
+    write_meta_sidecar(out_path, ckpt.config)
     return out_path
 
 

@@ -87,6 +87,15 @@ MODEL_PRESETS: dict[str, ModelConfig] = {
                               max_seq_len=4096),
     "llama2-70B": ModelConfig(vocab_size=32000, dim=8192, n_layers=80, n_heads=64,
                               n_kv_heads=8, ffn_dim=28672, max_seq_len=4096),
+    # LLaMA-3 family (GQA everywhere, 128k vocab, rope theta 500k) — the
+    # HF converter path handles these directly (GQA k/v unpermute +
+    # rope_theta passthrough, checkpoint/convert.py).
+    "llama3-8B": ModelConfig(vocab_size=128256, dim=4096, n_layers=32,
+                             n_heads=32, n_kv_heads=8, ffn_dim=14336,
+                             rope_theta=500000.0, max_seq_len=8192),
+    "llama3-70B": ModelConfig(vocab_size=128256, dim=8192, n_layers=80,
+                              n_heads=64, n_kv_heads=8, ffn_dim=28672,
+                              rope_theta=500000.0, max_seq_len=8192),
     # Tiny configs for tests / CI (head_dim kept >= 8 so TPU tiling works).
     "tiny": ModelConfig(vocab_size=512, dim=64, n_layers=2, n_heads=4,
                         multiple_of=32, max_seq_len=128),

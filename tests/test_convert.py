@@ -251,3 +251,62 @@ def test_streaming_matches_in_ram_loader(tmp_path):
     for name in ram:
         np.testing.assert_array_equal(
             np.asarray(ckpt.tensors[name]), ram[name], err_msg=name)
+
+
+def test_gqa_rope_theta_file_roundtrip(tmp_path):
+    """GQA + non-default rope_theta survive the ggjt FILE round-trip
+    (the v1 header can't carry them: kv_heads/ffn are inferred from
+    tensor shapes, rope_theta rides the sidecar). Logits through the
+    reloaded file must match transformers exactly like the direct path."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    import jax
+    import jax.numpy as jnp
+
+    from llamago_tpu.checkpoint.convert import load_hf_checkpoint
+    from llamago_tpu.checkpoint.ggjt import read_ggjt, write_ggjt, write_meta_sidecar
+    from llamago_tpu.checkpoint.params import load_parameters
+    from llamago_tpu.config import ModelConfig
+    from llamago_tpu.models.llama import forward
+    from llamago_tpu.runtime.kv_cache import KVCache
+    from llamago_tpu.tokenizer import Vocab
+
+    hf_config = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=176,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-5, rope_theta=500000.0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(1)
+    hf_model = transformers.LlamaForCausalLM(hf_config).eval()
+    d = tmp_path / "hf"
+    hf_model.save_pretrained(str(d))
+
+    hparams, tensors = load_hf_checkpoint(str(d))
+    config = ModelConfig(
+        vocab_size=128, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+        ffn_dim=176, rope_theta=500000.0, max_seq_len=32,
+        dtype="float32", weight_dtype="float32",
+    )
+    vocab = Vocab([(b"t%d" % i, -float(i)) for i in range(128)])
+    path = str(tmp_path / "gqa.bin")
+    write_ggjt(path, config, vocab,
+               {k: np.asarray(v, np.float32) for k, v in tensors.items()},
+               ftype=0)
+    write_meta_sidecar(path, config)
+
+    ckpt = read_ggjt(path, max_seq_len=32)
+    # inferred + sidecar fields
+    assert ckpt.config.kv_heads == 2
+    assert ckpt.config.ffn_hidden == 176
+    assert ckpt.config.rope_theta == 500000.0
+
+    cfg = ckpt.config.replace(dtype="float32", weight_dtype="float32")
+    params = load_parameters(cfg, ckpt.tensors)
+    ids = np.array([[1, 17, 99, 4]], np.int32)
+    cache = KVCache.create(cfg, batch=1, dtype=jnp.float32)
+    ours, _ = forward(params, jnp.asarray(ids), cache,
+                      jnp.zeros(1, jnp.int32), cfg, return_all_logits=True)
+    with torch.no_grad():
+        theirs = hf_model(torch.from_numpy(ids.astype(np.int64))).logits.numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=0, atol=5e-3)
