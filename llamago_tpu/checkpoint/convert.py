@@ -303,6 +303,115 @@ def load_hf_checkpoint(dir_model: str) -> tuple[dict, dict[str, np.ndarray]]:
     return hparams, tensors
 
 
+def hf_hparams(dir_model: str) -> dict:
+    """hparams straight from config.json (no transformers import)."""
+    with open(os.path.join(dir_model, "config.json")) as f:
+        hf = json.load(f)
+    n_heads = hf["num_attention_heads"]
+    return {
+        "dim": hf["hidden_size"],
+        "n_heads": n_heads,
+        "n_kv_heads": hf.get("num_key_value_heads", n_heads),
+        "n_layers": hf["num_hidden_layers"],
+        "vocab_size": hf["vocab_size"],
+        "multiple_of": 256,
+        "ffn_dim": hf["intermediate_size"],
+        "rope_theta": hf.get("rope_theta", 10000.0),
+        "norm_eps": hf.get("rms_norm_eps", 1e-5),
+        "tie_word_embeddings": hf.get("tie_word_embeddings", False),
+    }
+
+
+def _hf_safetensor_files(dir_model: str) -> list[str]:
+    idx = os.path.join(dir_model, "model.safetensors.index.json")
+    if os.path.exists(idx):
+        with open(idx) as f:
+            weight_map = json.load(f)["weight_map"]
+        return sorted({os.path.join(dir_model, v) for v in weight_map.values()})
+    single = os.path.join(dir_model, "model.safetensors")
+    return [single] if os.path.exists(single) else []
+
+
+def _map_hf_name(name: str) -> str | None:
+    if name in _HF_MAP:
+        return _HF_MAP[name]
+    if name.startswith("model.layers."):
+        _, _, idx, rest = name.split(".", 3)
+        mapped = _HF_LAYER_MAP.get(rest)
+        if mapped is not None:
+            return f"layers.{idx}.{mapped}"
+    return None
+
+
+def stream_hf_to_ggjt(
+    dir_model: str,
+    out_path: str,
+    config: ModelConfig,
+    vocab: Vocab,
+    ftype: int,
+    hparams: dict,
+) -> None:
+    """Convert an HF safetensors checkpoint in CONSTANT memory: one
+    tensor at a time via safetensors' lazy slicing (the legacy path
+    materializes the whole model through transformers — a 70B f32
+    conversion would need ~280 GB of host RAM). q/k projections are
+    un-permuted back to the interleaved-pair RoPE layout on the way."""
+    import torch
+    from safetensors import safe_open
+
+    from llamago_tpu.checkpoint.ggjt import (
+        write_header_and_vocab,
+        write_tensor_meta,
+    )
+
+    files = _hf_safetensor_files(dir_model)
+    n_heads = hparams["n_heads"]
+    n_kv = hparams["n_kv_heads"]
+    emb_location: tuple[str, str] | None = None
+    wrote_lm_head = False
+
+    def coerced(arr):
+        return _coerce(np.asarray(arr), ftype)
+
+    def get_np(sf, name):
+        # torch framework handles bf16 checkpoints (numpy cannot)
+        return sf.get_tensor(name).to(torch.float32).numpy()
+
+    with open(out_path, "wb") as f:
+        write_header_and_vocab(f, config, vocab, ftype)
+        for path in files:
+            with safe_open(path, framework="pt") as sf:
+                for hf_name in sf.keys():
+                    mapped = _map_hf_name(hf_name)
+                    if mapped is None:
+                        continue
+                    arr = get_np(sf, hf_name)
+                    if "q_proj" in hf_name:
+                        arr = unpermute_hf_rope(arr, n_heads)
+                    elif "k_proj" in hf_name:
+                        arr = unpermute_hf_rope(arr, n_kv)
+                    if mapped == "tok_embeddings.weight":
+                        emb_location = (path, hf_name)
+                    if mapped == "output.weight":
+                        wrote_lm_head = True
+                    arr = coerced(arr)
+                    write_tensor_meta(f, mapped, arr.ndim,
+                                      list(reversed(arr.shape)),
+                                      1 if arr.dtype == np.float16 else 0)
+                    f.write(np.ascontiguousarray(arr).tobytes())
+        if not wrote_lm_head:
+            # tied embeddings: re-read the table rather than keeping it
+            if emb_location is None:
+                raise ValueError("no lm_head and no embeddings found")
+            path, hf_name = emb_location
+            with safe_open(path, framework="pt") as sf:
+                arr = coerced(get_np(sf, hf_name))
+            write_tensor_meta(f, "output.weight", arr.ndim,
+                              list(reversed(arr.shape)),
+                              1 if arr.dtype == np.float16 else 0)
+            f.write(np.ascontiguousarray(arr).tobytes())
+
+
 def convert(
     dir_model: str,
     out_path: str | None = None,
@@ -315,10 +424,15 @@ def convert(
         fmt = "hf" if os.path.exists(os.path.join(dir_model, "config.json")) else "meta"
 
     tensors: dict[str, np.ndarray] = {}
+    stream_hf = False
     if fmt == "hf":
         hparams = {}
         if not vocab_only:
-            hparams, tensors = load_hf_checkpoint(dir_model)
+            if _hf_safetensor_files(dir_model):
+                hparams = hf_hparams(dir_model)  # constant-memory path
+                stream_hf = True
+            else:  # legacy torch-bin checkpoints go through transformers
+                hparams, tensors = load_hf_checkpoint(dir_model)
         tok_path = os.path.join(dir_model, "tokenizer.model")
     else:
         with open(os.path.join(dir_model, "params.json")) as f:
@@ -349,6 +463,11 @@ def convert(
         # constant-memory path: parts stream to final file offsets
         stream_meta_to_ggjt(dir_model, out_path, config, vocab, ftype,
                             hparams=hparams)
+        write_meta_sidecar(out_path, config)
+        return out_path
+
+    if stream_hf and not vocab_only:
+        stream_hf_to_ggjt(dir_model, out_path, config, vocab, ftype, hparams)
         write_meta_sidecar(out_path, config)
         return out_path
 

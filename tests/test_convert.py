@@ -310,3 +310,46 @@ def test_gqa_rope_theta_file_roundtrip(tmp_path):
     with torch.no_grad():
         theirs = hf_model(torch.from_numpy(ids.astype(np.int64))).logits.numpy()
     np.testing.assert_allclose(np.asarray(ours), theirs, rtol=0, atol=5e-3)
+
+
+def test_hf_streaming_convert_logits_parity(tmp_path):
+    """The constant-memory HF safetensors conversion (config.json parse +
+    per-tensor safe_open streaming, no transformers model load) produces
+    a file whose logits match transformers exactly."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    import jax.numpy as jnp
+
+    from llamago_tpu.checkpoint.convert import _hf_safetensor_files
+    from llamago_tpu.checkpoint.ggjt import read_ggjt
+    from llamago_tpu.checkpoint.params import load_parameters
+    from llamago_tpu.models.llama import forward
+    from llamago_tpu.runtime.kv_cache import KVCache
+
+    hf_config = transformers.LlamaConfig(
+        vocab_size=262, hidden_size=64, intermediate_size=176,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-5, rope_theta=123456.0,
+        tie_word_embeddings=True,  # exercise the lm-head re-read
+    )
+    torch.manual_seed(3)
+    hf_model = transformers.LlamaForCausalLM(hf_config).eval()
+    d = tmp_path / "hf"
+    hf_model.save_pretrained(str(d), safe_serialization=True)
+    make_sp_model(str(d / "tokenizer.model"), extra=[("▁hi", -1.0)])
+    assert _hf_safetensor_files(str(d)), "fixture must be safetensors"
+
+    out = convert(str(d), out_path=str(tmp_path / "hf.bin"), ftype=0, fmt="hf")
+    ckpt = read_ggjt(out, max_seq_len=32)
+    assert ckpt.config.kv_heads == 2
+    assert ckpt.config.rope_theta == 123456.0  # via the sidecar
+
+    cfg = ckpt.config.replace(dtype="float32", weight_dtype="float32")
+    params = load_parameters(cfg, ckpt.tensors)
+    ids = np.array([[1, 17, 99, 4, 55]], np.int32)
+    cache = KVCache.create(cfg, batch=1, dtype=jnp.float32)
+    ours, _ = forward(params, jnp.asarray(ids), cache,
+                      jnp.zeros(1, jnp.int32), cfg, return_all_logits=True)
+    with torch.no_grad():
+        theirs = hf_model(torch.from_numpy(ids.astype(np.int64))).logits.numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=0, atol=5e-3)
