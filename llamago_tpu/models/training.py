@@ -52,3 +52,35 @@ def train_step(params, opt_state, tokens: jnp.ndarray, config: ModelConfig):
     updates, opt_state = make_optimizer().update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, loss
+
+
+def save_train_state(path: str, params, opt_state, step: int) -> None:
+    """Checkpoint params + optimizer state + step via orbax (async-safe,
+    sharding-aware — sharded trees restore onto the same mesh). The
+    inference-side export is checkpoint/params.py:export_ggjt_tensors;
+    this is the training-resume side (SURVEY.md §5 checkpoint/resume)."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            os.path.abspath(path),
+            {"params": params, "opt_state": opt_state, "step": step},
+            force=True,
+        )
+
+
+def load_train_state(path: str, params_like, opt_state_like):
+    """Restore a train state. `*_like` provide the tree structure (and
+    shardings, when their leaves are sharded arrays)."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(
+            os.path.abspath(path),
+            {"params": params_like, "opt_state": opt_state_like, "step": 0},
+        )
+    return restored["params"], restored["opt_state"], int(restored["step"])
