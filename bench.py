@@ -454,12 +454,25 @@ def bench_shard70b() -> dict:
 
     hbm_gbps = measure_hbm_gbps(jax, size_mb=512 if on_tpu else 64)
 
-    shapes = {
-        "wq": (dim, q_out), "wk": (dim, kv_out), "wv": (dim, kv_out),
-        "wo": (q_out, dim), "w1": (dim, ffn), "w3": (dim, ffn),
-        "w2": (ffn, dim),
-    }
+    if os.environ.get("BENCH_FUSE", "1") == "1":
+        # per-SHARD projection fusion: a tp shard's local wq|wk|wv (and
+        # w1|w3) columns concatenate legally inside the shard's program —
+        # 4 large matmuls per layer instead of 7, exactly like the
+        # single-chip fused path (checkpoint/params.py:fuse_layer_weights)
+        shapes = {
+            "wqkv": (dim, q_out + 2 * kv_out),
+            "wo": (q_out, dim),
+            "w13": (dim, 2 * ffn),
+            "w2": (ffn, dim),
+        }
+    else:
+        shapes = {
+            "wq": (dim, q_out), "wk": (dim, kv_out), "wv": (dim, kv_out),
+            "wo": (q_out, dim), "w1": (dim, ffn), "w3": (dim, ffn),
+            "w2": (ffn, dim),
+        }
     key = jax.random.PRNGKey(0)
+    bits = int(os.environ.get("BENCH_BITS", "4"))
 
     def make_layer(i):
         nonlocal key
@@ -467,7 +480,7 @@ def bench_shard70b() -> dict:
         for name, (k_, n_) in shapes.items():
             key, sub = jax.random.split(key)
             w = jax.random.normal(sub, (k_, n_), jnp.bfloat16) * 0.02
-            layer[name] = quant.quantize(w, 4)
+            layer[name] = quant.quantize(w, bits)
         return layer
 
     stack = [make_layer(i) for i in range(layers)]
@@ -488,7 +501,7 @@ def bench_shard70b() -> dict:
     n_steps = int(os.environ.get("BENCH_TOKENS", "32" if on_tpu else "4"))
 
     @jax.jit
-    def sweep(x, h, a):
+    def sweep(weights, x, h, a):
         # every matmul of every layer, serialized by a data dependency,
         # weights read from HBM once per outer step
         def outer(carry, _):
@@ -496,28 +509,37 @@ def bench_shard70b() -> dict:
 
             def layer_step(carry, lw):
                 x, h, a = carry
-                q = quant.quant_matmul(x, lw["wq"])          # [1, q_out]
-                kv = quant.quant_matmul(x, lw["wk"])
-                kv = kv + quant.quant_matmul(x, lw["wv"])
+                if "wqkv" in lw:
+                    qkv = quant.quant_matmul(x, lw["wqkv"])
+                    q, kv = qkv[:, :q_out], qkv[:, q_out:q_out + kv_out]
+                    gu = quant.quant_matmul(x, lw["w13"])
+                    g, u = gu[:, :ffn], gu[:, ffn:]
+                else:
+                    q = quant.quant_matmul(x, lw["wq"])      # [1, q_out]
+                    kv = quant.quant_matmul(x, lw["wk"])
+                    kv = kv + quant.quant_matmul(x, lw["wv"])
+                    g = quant.quant_matmul(x, lw["w1"])
+                    u = quant.quant_matmul(x, lw["w3"])
                 o = quant.quant_matmul(a, lw["wo"])          # [1, dim]
-                g = quant.quant_matmul(x, lw["w1"])
-                u = quant.quant_matmul(x, lw["w3"])
                 d = quant.quant_matmul(h, lw["w2"])          # [1, dim]
                 x = (x + o + d) * 0.5
                 h = (g + u) * 0.5
                 a = q + jnp.pad(kv, ((0, 0), (0, q.shape[-1] - kv.shape[-1])))
                 return (x, h, a), None
 
-            carry, _ = jax.lax.scan(layer_step, (x, h, a), stacked)
+            carry, _ = jax.lax.scan(layer_step, (x, h, a), weights)
             return carry, None
 
         (x, h, a), _ = jax.lax.scan(outer, (x, h, a), None, length=n_steps)
         return x, h, a
 
-    x, h, a = sweep(x0, h0, a0)
+    def sweep_(x, h, a):
+        return sweep(stacked, x, h, a)
+
+    x, h, a = sweep_(x0, h0, a0)
     _sync(x)  # compile + warm
     t0 = time.time()
-    x, h, a = sweep(x, h, a)
+    x, h, a = sweep_(x, h, a)
     _sync(x)
     dt = time.time() - t0
     achieved = weight_bytes * n_steps / dt / 1e9
@@ -528,7 +550,7 @@ def bench_shard70b() -> dict:
         f"achieved={achieved:.0f} GB/s ({pct:.0f}%)\n"
     )
     return {
-        "metric": "dequant_matmul_stream_70B_int4_tp8_shard",
+        "metric": f"dequant_matmul_stream_70B_int{bits}_tp8_shard",
         "value": round(achieved, 1),
         "unit": "GB/s",
         "vs_baseline": round(pct / 100.0, 3),  # fraction of measured roofline
