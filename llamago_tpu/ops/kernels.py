@@ -195,6 +195,15 @@ def _dequant_mm_kernel(x_ref, q_ref, s_ref, o_ref, *, bits: int, tk: int, tn: in
     # slower end-to-end). Scales are STORED bf16 (half the HBM traffic)
     # and widened on arrival.
     s = s_ref[:].astype(jnp.float32)  # [blocks, TN]
+    # NOTE (negative result, measured): two "halves-dot" variants that
+    # skip the int4 per-block sublane concat — (a) slicing x's 32-lane
+    # blocks into halves, (b) a 256-row group packing with lane-aligned
+    # 128-lane x slices — both fail Mosaic lowering on real TPU
+    # ("unsupported shape cast" / "Only 2D gather is supported"), and the
+    # premise is weak anyway: the unpack+concat path already achieves a
+    # HIGHER element rate (~744G elem/s at 7B int4) than int8's plain
+    # widen (~585G), so the concat is not the binding constraint. See git
+    # history for the implementations.
     if bits == 8:
         q = q_ref[:].astype(jnp.float32).reshape(blocks, QK, tn)
     else:
