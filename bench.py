@@ -300,14 +300,15 @@ def bench_decode() -> dict:
 
 
 def _byte_vocab(vocab_size: int):
-    """Synthetic vocab: specials + byte pieces + padding. Tokenization of
-    arbitrary text falls back to byte tokens — prompt length in tokens is
-    controllable and detokenization is exact."""
+    """Synthetic vocab padded to `vocab_size`: the shared byte-level
+    builder (eval/quality_gate.py) plus filler pieces. Byte fallback makes
+    prompt token length controllable and detokenization exact."""
+    from llamago_tpu.eval.quality_gate import byte_vocab
     from llamago_tpu.tokenizer import Vocab
 
-    tokens = [(" ⁇ ".encode(), 0.0), (b"", 0.0), (b"", 0.0)]
-    tokens += [(bytes([b]), -1000.0) for b in range(256)]
-    tokens += [(f"<pad{i}>".encode(), -2000.0) for i in range(vocab_size - len(tokens))]
+    tokens = list(byte_vocab().tokens)
+    tokens += [(f"<pad{i}>".encode(), -2000.0)
+               for i in range(vocab_size - len(tokens))]
     return Vocab(tokens)
 
 

@@ -178,8 +178,13 @@ class Engine:
                 spec[1] = None  # slot count doesn't divide dp: replicate
                 cache_shard = NamedSharding(cache_shard.mesh,
                                             PartitionSpec(*spec))
-        self.cache = KVCache.create(config, batch=slots, layered=layered,
-                                    sharding=cache_shard)
+        # remembered so warmup's wipe and _rebuild_device_state recreate
+        # the cache with the SAME layout/sharding the programs compiled
+        # against (an unsharded replacement would recompile everything on
+        # the first real request and reshard the cache every step)
+        self._cache_layered = layered
+        self._cache_shard = cache_shard
+        self.cache = self._make_cache()
         self.sampler_state = SamplerState.create(
             slots, config.max_seq_len, config.vocab_size
         )
@@ -209,6 +214,11 @@ class Engine:
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self._wake = threading.Event()
+
+    def _make_cache(self) -> KVCache:
+        return KVCache.create(self.config, batch=self.n_slots,
+                              layered=self._cache_layered,
+                              sharding=self._cache_shard)
 
     # ------------------------------------------------------------- queue
 
@@ -274,6 +284,19 @@ class Engine:
         # reused rows); worst case reuse=0 always fits since len(ids) < ctx
         while reuse > 0 and not self._fits(reuse, len(ids)):
             reuse = max(0, reuse - 16)
+        if not self._fits(reuse, len(ids)):
+            # even a from-scratch chunked prefill would overrun the cache
+            # (possible when max_seq_len isn't bucket-aligned, e.g.
+            # --context 1000 with a 990-token prompt whose last chunk pads
+            # to a 1024 bucket). Reject THIS job instead of letting
+            # _prefill raise inside the engine loop and fail every
+            # co-tenant slot.
+            job.status = JobStatus.FAILED
+            job.error = (f"prompt of {len(ids)} tokens does not fit the "
+                         f"context layout (context {ctx}, prefill buckets "
+                         f"{self.buckets})")
+            job.finished = time.time()
+            return
         job.reused_tokens = reuse
         _dbg.check(self._fits(reuse, len(ids)),
                    "prefix-reuse prefill would overrun the cache",
@@ -404,7 +427,11 @@ class Engine:
         for i, s in enumerate(self.slots):
             if s.decodable:
                 g = s.job.gen
-                temp[i], top_k[i], top_p[i], rp[i] = g.temp, g.top_k, g.top_p, g.repeat_penalty
+                temp[i], top_p[i], rp[i] = g.temp, g.top_p, g.repeat_penalty
+                # top_k <= 0 means "disabled: use the full vocab"
+                # (llama.cpp convention); 0 would select the smallest
+                # ladder rung and then mask out EVERY candidate (NaN draw)
+                top_k[i] = g.top_k if g.top_k > 0 else self.config.vocab_size
                 active[i] = True
         return temp, top_k, top_p, rp, active
 
@@ -787,14 +814,20 @@ class Engine:
         # max_top_k MUST be passed explicitly exactly as step() passes it:
         # jax.jit keys an omitted default and an equal explicit value as
         # DIFFERENT cache entries (verified), so an omitted kwarg here
-        # would leave step() to recompile under traffic
-        mk = self._static_top_k(ones_i, np.ones(self.n_slots, bool))
+        # would leave step() to recompile under traffic. EVERY ladder rung
+        # is warmed — max_top_k is a static arg of sample AND decode_chunk,
+        # so a first request with top_k above the smallest rung would
+        # otherwise recompile the full chunk program mid-traffic.
+        rungs = sorted({min(k, self.config.vocab_size)
+                        for k in self._TOPK_LADDER}
+                       | {self.config.vocab_size})
         split = jax.vmap(lambda k: jax.random.split(k, 2))(self.rngs)
-        tokens_dev = sample(split[:, 1], self.logits, self.sampler_state,
-                            jnp.asarray(temp), jnp.asarray(ones_i),
-                            jnp.asarray(onesf), jnp.asarray(onesf),
-                            max_top_k=mk)
-        _host(tokens_dev)
+        for mk in rungs:
+            tokens_dev = sample(split[:, 1], self.logits, self.sampler_state,
+                                jnp.asarray(temp), jnp.asarray(ones_i),
+                                jnp.asarray(onesf), jnp.asarray(onesf),
+                                max_top_k=mk)
+            _host(tokens_dev)
         self.sampler_state = push_tokens(
             self.sampler_state, tokens_dev[:, None], jnp.asarray(mask)
         )
@@ -806,17 +839,18 @@ class Engine:
         if self.decode_chunk_size > 1:
             from llamago_tpu.runtime.decode_loop import decode_chunk
 
-            toks, self.cache, _, self.sampler_state, _, self.logits = decode_chunk(
-                self.params, jnp.zeros(self.n_slots, jnp.int32), self.cache,
-                jnp.zeros(self.n_slots, jnp.int32), self.config,
-                self.decode_chunk_size, rngs=self.rngs,
-                state=self.sampler_state,
-                temp=jnp.asarray(temp), top_k=jnp.asarray(ones_i),
-                top_p=jnp.asarray(onesf), repeat_penalty=jnp.asarray(onesf),
-                greedy=False, return_final_logits=True,
-                max_top_k=mk,  # explicit: see note above
-            )
-            _host(toks)  # warms _host's helper ops for the [slots, chunk] shape
+            for mk in rungs:
+                toks, self.cache, _, self.sampler_state, _, self.logits = decode_chunk(
+                    self.params, jnp.zeros(self.n_slots, jnp.int32), self.cache,
+                    jnp.zeros(self.n_slots, jnp.int32), self.config,
+                    self.decode_chunk_size, rngs=self.rngs,
+                    state=self.sampler_state,
+                    temp=jnp.asarray(temp), top_k=jnp.asarray(ones_i),
+                    top_p=jnp.asarray(onesf), repeat_penalty=jnp.asarray(onesf),
+                    greedy=False, return_final_logits=True,
+                    max_top_k=mk,  # explicit: see note above
+                )
+                _host(toks)  # warms _host's helpers for the [slots, chunk] shape
         # honest sync: block_until_ready does not reliably wait under
         # tunneled TPU transports — a >=1-element device-to-host copy does
         # (same pattern as _host; without this, warmup "finishes" while
@@ -824,8 +858,7 @@ class Engine:
         _host(self.logits)
         # wipe warmup state (incl. any slot prefix mappings — the cache
         # rows they pointed at were just overwritten)
-        self.cache = KVCache.create(self.config, batch=self.n_slots,
-                                    layered=self.cache.layered)
+        self.cache = self._make_cache()
         self.sampler_state = reset_slots(
             self.sampler_state, jnp.ones(self.n_slots, bool)
         )
@@ -847,9 +880,7 @@ class Engine:
         self.cache pointing at a deleted buffer — every later step would
         then fail and the engine would spin failing all future jobs.
         Rebuild from scratch (the slots' cached prefixes are forfeited)."""
-        self.cache = KVCache.create(
-            self.config, batch=self.n_slots, layered=self.cache.layered
-        )
+        self.cache = self._make_cache()
         self.sampler_state = SamplerState.create(
             self.n_slots, self.config.max_seq_len, self.config.vocab_size
         )

@@ -302,3 +302,36 @@ def test_engine_recovers_device_state_after_failure(setup, monkeypatch):
     again = eng.generate("hello world", GREEDY)
     assert again.status == JobStatus.FINISHED
     assert again.output_tokens == ref
+
+
+def test_unfittable_prompt_rejected_not_engine_crash(setup):
+    """A prompt that fits the ctx char/token check but whose LAST prefill
+    chunk's bucket would overrun a non-bucket-aligned context must fail
+    THAT job at admission — not raise inside the engine loop and kill
+    every co-tenant (review finding: --context 1000 + 990-token prompt)."""
+    config, params, vocab = setup
+    cfg60 = config.replace(max_seq_len=60)  # not bucket-aligned
+    eng = Engine(cfg60, params, vocab, slots=2, decode_chunk_size=1,
+                 prefill_chunk=16)
+    healthy = eng.submit("ok", GenerateConfig(max_tokens=4, ctx_size=60,
+                                              temp=0.0))
+    # 56 byte-tokens + BOS + leading space ~ 58 ids < 60 ctx, but the
+    # final 16-token chunk buckets past 60
+    doomed = eng.submit("x" * 56, GenerateConfig(max_tokens=4, ctx_size=60,
+                                                 temp=0.0))
+    _drain(eng, healthy, doomed)
+    assert healthy.status == JobStatus.FINISHED
+    assert doomed.status == JobStatus.FAILED
+    assert "does not fit" in doomed.error
+
+
+def test_top_k_zero_means_full_vocab(setup):
+    """top_k<=0 is the llama.cpp 'disabled' convention: sample over the
+    whole vocab (it used to mask out every candidate -> NaN draws)."""
+    config, params, vocab = setup
+    eng = Engine(config, params, vocab, slots=1, decode_chunk_size=1)
+    job = eng.submit("hello", GenerateConfig(max_tokens=6, ctx_size=64,
+                                             temp=0.9, top_k=0, seed=7))
+    _drain(eng, job)
+    assert job.status == JobStatus.FINISHED
+    assert len(job.output_tokens) > 0
