@@ -224,6 +224,9 @@ def test_engine_serves_on_sharded_params(tp, sp):
         shardings = param_shardings(config, mesh)
         params = load_parameters(config, tensors, shardings=shardings)
         engine = Engine(config, params, vocab, slots=2, decode_chunk_size=1)
+        engine.warmup()  # the wipe must preserve the mesh cache sharding
+        assert engine.cache.k.sharding.is_equivalent_to(
+            engine._cache_shard, engine.cache.k.ndim)
         gen = GenerateConfig(max_tokens=6, ctx_size=64, temp=0.0)
         jobs = [engine.submit("hello world", gen),
                 engine.submit("hi there", gen)]
