@@ -38,6 +38,7 @@ unit-tested on CPU (tests/test_attention.py).
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -71,8 +72,6 @@ _SCORE_BYTES_MAX = 4 * 1024 * 1024
 # stays fully tested (interpret-mode suite ignores floors) and one env
 # var away for re-derivation on hardware where the balance differs:
 # LLAMAGO_ATTN_DECODE_FLOOR / LLAMAGO_ATTN_PREFILL_FLOOR, in bytes.
-import os as _os
-
 _GB = 1024 * 1024 * 1024
 _MIN_DECODE_TRAFFIC = int(_os.environ.get(
     "LLAMAGO_ATTN_DECODE_FLOOR", 1024 * _GB))

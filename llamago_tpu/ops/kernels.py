@@ -19,6 +19,7 @@ tested on the CPU mesh (tests/test_quant.py, tests/test_attention.py).
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -175,8 +176,6 @@ def _dequant_mm_kernel_so(xt_ref, q_ref, s_ref, o_ref, *, bits: int, tk: int,
         acc = acc + part * s[b][None, :]
     o_ref[:] += acc
 
-
-import os as _os
 
 _F32_DOT = _os.environ.get("LLAMAGO_KERNEL_F32DOT", "1") == "1"
 

@@ -103,13 +103,19 @@ def param_shardings(config: ModelConfig, mesh: Mesh):
     return {**top, "layers": layers}
 
 
-def cache_sharding(config: ModelConfig, mesh: Mesh) -> NamedSharding:
+def cache_sharding(config: ModelConfig, mesh: Mesh,
+                   batch: int | None = None) -> NamedSharding:
     """KV cache [L, B, KV, S, hd]: kv_heads on tp, batch slots on dp,
-    cache positions on sp (sequence parallel, long-context scaling)."""
+    cache positions on sp (sequence parallel, long-context scaling).
+    Pass `batch` (e.g. the engine's slot count) to fall back to a
+    replicated batch dim when it doesn't divide dp."""
     tp_ax = "tp" if config.kv_heads % mesh.shape["tp"] == 0 else None
     sp = mesh.shape.get("sp", 1)
     sp_ax = "sp" if sp > 1 and config.max_seq_len % sp == 0 else None
-    return NamedSharding(mesh, P(None, "dp", tp_ax, sp_ax, None))
+    dp_ax = "dp"
+    if batch is not None and batch % mesh.shape.get("dp", 1) != 0:
+        dp_ax = None
+    return NamedSharding(mesh, P(None, dp_ax, tp_ax, sp_ax, None))
 
 
 def logits_sharding(mesh: Mesh) -> NamedSharding:

@@ -168,16 +168,10 @@ class Engine:
             # stored layout matches the attention shard_map specs (kv
             # heads on tp, positions on sp, slots on dp) so decode steps
             # don't reshard the cache on every call
-            from jax.sharding import NamedSharding, PartitionSpec
-
             from llamago_tpu.parallel.sharding import cache_sharding
 
-            cache_shard = cache_sharding(config, _kernels.ACTIVE_MESH)
-            if slots % _kernels.ACTIVE_MESH.shape.get("dp", 1) != 0:
-                spec = list(cache_shard.spec) + [None] * (5 - len(cache_shard.spec))
-                spec[1] = None  # slot count doesn't divide dp: replicate
-                cache_shard = NamedSharding(cache_shard.mesh,
-                                            PartitionSpec(*spec))
+            cache_shard = cache_sharding(config, _kernels.ACTIVE_MESH,
+                                         batch=slots)
         # remembered so warmup's wipe and _rebuild_device_state recreate
         # the cache with the SAME layout/sharding the programs compiled
         # against (an unsharded replacement would recompile everything on
@@ -298,9 +292,6 @@ class Engine:
             job.finished = time.time()
             return
         job.reused_tokens = reuse
-        _dbg.check(self._fits(reuse, len(ids)),
-                   "prefix-reuse prefill would overrun the cache",
-                   reuse=reuse, n_ids=len(ids), ctx=self.config.max_seq_len)
         _dbg.check(0 <= reuse <= slot.mapped,
                    "reuse exceeds the slot's mapped prefix",
                    reuse=reuse, mapped=slot.mapped)
