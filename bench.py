@@ -329,7 +329,7 @@ def bench_serve() -> dict:
     n_jobs = int(os.environ.get("BENCH_JOBS", "8" if on_tpu else "3"))
     predict = int(os.environ.get("BENCH_TOKENS", "64" if on_tpu else "8"))
     prompt_tokens = int(os.environ.get("BENCH_PROMPT_TOKENS", "48" if on_tpu else "8"))
-    chunk = int(os.environ.get("BENCH_CHUNK", "16" if on_tpu else "4"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "32" if on_tpu else "4"))
 
     t0 = time.time()
     params = _make_params(config, weight_dtype)

@@ -98,7 +98,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "positions; long-context scaling) [1]")
     p.add_argument("--chunk", type=int, default=0,
                    help="on-device decode chunk size (tokens per host sync) "
-                        "[0 = auto: 16 on TPU, 1 elsewhere]")
+                        "[0 = auto: 32 on TPU, 1 elsewhere]")
     p.add_argument("--spec", action="store_true",
                    help="prompt-lookup speculative decoding for greedy "
                         "(temp 0) requests — lossless, often 2x+ tokens/s")
@@ -256,7 +256,10 @@ def _load_engine(args):
         log("info", f"model ready in {time.time() - t0:.1f}s",
             layers=config.n_layers, dim=config.dim,
             weights=config.weight_dtype, tp=tp)
-    chunk = args.chunk or (16 if jax.default_backend() == "tpu" else 1)
+    # 32 measured best on BOTH axes vs 16 at 7B int8 serving (160 vs
+    # 136 tok/s, TTFT p50 174 vs 189 ms); 64 trades TTFT for peak
+    # throughput (173 tok/s / 207 ms) — see bench_artifacts
+    chunk = args.chunk or (32 if jax.default_backend() == "tpu" else 1)
     kwargs = {}
     if getattr(args, "prefill_buckets", ""):
         kwargs["buckets"] = tuple(
