@@ -137,7 +137,10 @@ def _make_config(jax):
     weight_dtype = os.environ.get("BENCH_WEIGHT_DTYPE", "int8")
     ctx = int(os.environ.get("BENCH_CTX", "1024" if on_tpu else "128"))
     config = MODEL_PRESETS[model_name].replace(
-        dtype="bfloat16", weight_dtype=weight_dtype, max_seq_len=ctx
+        # CPU XLA's DotThunk rejects some bf16 dot shapes (seen in the
+        # speculative path); bf16 is the TPU-native choice only
+        dtype="bfloat16" if on_tpu else "float32",
+        weight_dtype=weight_dtype, max_seq_len=ctx
     )
     return config, model_name, weight_dtype, ctx, on_tpu
 
@@ -337,9 +340,14 @@ def bench_serve() -> dict:
     init_s = time.time() - t0
 
     vocab = _byte_vocab(config.vocab_size)
+    speculative = os.environ.get("BENCH_SPEC", "0") == "1"
     engine = Engine(config, params, vocab, slots=slots,
-                    decode_chunk_size=chunk, prefill_chunk=256)
-    gen = GenerateConfig(max_tokens=predict, ctx_size=ctx, temp=0.8, seed=11)
+                    decode_chunk_size=chunk, prefill_chunk=256,
+                    speculative=speculative)
+    # speculative serving requires an all-greedy batch (lossless path);
+    # the sampled default exercises the full sampler
+    gen = GenerateConfig(max_tokens=predict, ctx_size=ctx,
+                         temp=0.0 if speculative else 0.8, seed=11)
     t0 = time.time()
     warm_bucket = engine._bucket(prompt_tokens + 2)
     warm_s = engine.warmup(max_bucket=warm_bucket)

@@ -590,14 +590,20 @@ class Engine:
                 return 0  # yield only to ACTIONABLE admissions
         allowed = max(1, self.decode_chunk_size)
         per_step = self.draft_len + 1
+        rem_max = 0
         for i, slot in enumerate(self.slots):
             if not active[i] or slot.job is None:
                 continue
             ctx = min(slot.job.gen.ctx_size, self.config.max_seq_len)
             headroom = ctx - slot.pos - 2
             allowed = min(allowed, max(headroom // per_step, 0))
-        # power-of-two ladder (each distinct n_steps is an XLA program);
-        # token budget doesn't bound n — overshoot is trimmed on the host
+            rem_max = max(rem_max, slot.remaining)
+        # bound by the token budget too: at FULL acceptance a step emits
+        # per_step tokens, so more than ceil(rem/per_step) steps can only
+        # overshoot — every overshot step still streams all the weights
+        # (measured 4x wasted reads at predict=64 with 32-step chunks)
+        allowed = min(allowed, max(1, -(-rem_max // per_step)))
+        # power-of-two ladder (each distinct n_steps is an XLA program)
         n = max(1, self.decode_chunk_size)
         while n > max(allowed, 1):
             n //= 2
@@ -842,6 +848,27 @@ class Engine:
                     max_top_k=mk,  # explicit: see note above
                 )
                 _host(toks)  # warms _host's helpers for the [slots, chunk] shape
+        if self.speculative:
+            # every power-of-2 n_steps rung _spec_steps can pick is its
+            # own XLA program; an unwarmed rung would compile the full
+            # speculative scan mid-traffic
+            from llamago_tpu.runtime.speculative import speculative_decode_chunk
+
+            spec_rungs = []
+            n = max(1, self.decode_chunk_size)
+            while n >= 1:
+                spec_rungs.append(n)
+                n //= 2
+            hist = jnp.zeros((self.n_slots, self.config.max_seq_len), jnp.int32)
+            hlen = jnp.ones(self.n_slots, jnp.int32)
+            for n_steps in spec_rungs:
+                toks, _, self.cache, _, hist, hlen = speculative_decode_chunk(
+                    self.params, jnp.zeros(self.n_slots, jnp.int32),
+                    self.cache, jnp.zeros(self.n_slots, jnp.int32),
+                    hist, hlen, self.config,
+                    n_steps=n_steps, draft_len=self.draft_len,
+                )
+                _host(toks)
         # honest sync: block_until_ready does not reliably wait under
         # tunneled TPU transports — a >=1-element device-to-host copy does
         # (same pattern as _host; without this, warmup "finishes" while
