@@ -370,10 +370,15 @@ def run_oneshot(engine, gen, args) -> int:
 
 def run_chat(engine, gen, args) -> int:
     """Interactive chat: the reference declares --chat but never wires it
-    (main.go:36,78 feed an unused param); here it works."""
+    (main.go:36,78 feed an unused param); here it works — and it CARRIES
+    the conversation: each turn submits history+reply+new input, so the
+    engine's per-slot prefix cache re-prefills only the new suffix
+    (runtime/engine.py admission). History trims oldest-first when it
+    approaches the context budget."""
     from llamago_tpu.runtime.engine import JobStatus
 
     print("[CHAT] interactive mode — empty line or Ctrl-D to exit\n")
+    history = ""
     while True:
         try:
             prompt = input("user> ")
@@ -382,7 +387,14 @@ def run_chat(engine, gen, args) -> int:
             return 0
         if not prompt.strip():
             return 0
-        job = engine.submit(prompt, gen)
+        full = history + prompt
+        # crude char-level trim against the server-side prompt length
+        # check (chars, reference parity — server.go:318-335); the engine
+        # re-checks in tokens at admission
+        while history and len(full) + 1 >= gen.ctx_size:
+            history = history[len(history) // 2:]
+            full = history + prompt
+        job = engine.submit(full, gen)
         shown = 0
         print("model> ", end="", flush=True)
         while job.status in (JobStatus.QUEUED, JobStatus.PROCESSING):
@@ -391,6 +403,10 @@ def run_chat(engine, gen, args) -> int:
                 print(job.output[shown:], end="", flush=True)
                 shown = len(job.output)
         print(job.output[shown:] if len(job.output) > shown else "")
+        if job.status == JobStatus.FAILED:
+            print(f"[chat] turn failed: {job.error}", file=sys.stderr)
+            continue
+        history = full + " " + job.output + "\n"
 
 
 def _report(job) -> None:

@@ -199,3 +199,43 @@ def test_cli_accepts_all_reference_flags():
             "--profile", "--avx", "--neon"]
     args = build_parser().parse_args(argv)
     assert args.model == "m.bin" and args.pods == 4 and args.avx
+
+
+def test_chat_mode_carries_history(tmp_path, monkeypatch, capsys):
+    """--chat submits history + reply + new input each turn (prefix-cache
+    friendly) and keeps running after a turn; empty input exits 0."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from conftest import make_test_vocab, random_ggjt_tensors
+    from llamago_tpu.checkpoint.params import host_parameters
+    from llamago_tpu.cli import run_chat
+    from llamago_tpu.config import GenerateConfig, MODEL_PRESETS
+    from llamago_tpu.runtime.engine import Engine
+
+    config = MODEL_PRESETS["tiny"].replace(
+        dtype="float32", weight_dtype="float32", max_seq_len=128
+    )
+    tensors = random_ggjt_tensors(config, seed=4)
+    params = jax.tree.map(
+        lambda a: jnp.asarray(np.asarray(a, np.float32)),
+        host_parameters(config, tensors),
+    )
+    engine = Engine(config, params, make_test_vocab(), slots=1)
+    prompts = iter(["hello", "again", ""])
+    submitted = []
+    orig_submit = engine.submit
+
+    def spy_submit(prompt, gen, job_id=None):
+        submitted.append(prompt)
+        return orig_submit(prompt, gen, job_id=job_id)
+
+    engine.submit = spy_submit
+    monkeypatch.setattr("builtins.input", lambda *_: next(prompts))
+    gen = GenerateConfig(max_tokens=4, ctx_size=128, temp=0.0)
+    assert run_chat(engine, gen, None) == 0
+    assert len(submitted) == 2
+    # the second turn carries the first turn's prompt AND reply
+    assert submitted[1].startswith(submitted[0] + " ")
+    assert submitted[1].endswith("again")
