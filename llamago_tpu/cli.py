@@ -387,12 +387,18 @@ def run_chat(engine, gen, args) -> int:
             return 0
         if not prompt.strip():
             return 0
+        if len(prompt) + 1 >= gen.ctx_size:
+            print(f"[chat] input of {len(prompt)} chars exceeds the "
+                  f"context ({gen.ctx_size}) — not sent", file=sys.stderr)
+            continue
+        # char-level trim to HALF the context: headroom for the reply and
+        # for tokenization expanding past 1 token/char (byte fallback on
+        # multi-byte chars); the engine re-checks in tokens at admission
+        # and the FAILED branch below recovers if this still overflows
+        budget = max(len(prompt) + 2, gen.ctx_size // 2)
         full = history + prompt
-        # crude char-level trim against the server-side prompt length
-        # check (chars, reference parity — server.go:318-335); the engine
-        # re-checks in tokens at admission
-        while history and len(full) + 1 >= gen.ctx_size:
-            history = history[len(history) // 2:]
+        while history and len(full) + 1 >= budget:
+            history = history[max(1, len(history) // 2):]  # always shrinks
             full = history + prompt
         job = engine.submit(full, gen)
         shown = 0
@@ -405,6 +411,11 @@ def run_chat(engine, gen, args) -> int:
         print(job.output[shown:] if len(job.output) > shown else "")
         if job.status == JobStatus.FAILED:
             print(f"[chat] turn failed: {job.error}", file=sys.stderr)
+            if "too long" in job.error or "does not fit" in job.error:
+                # char trim under-counted tokens: drop the conversation
+                # so the next turn starts clean instead of wedging
+                history = ""
+                print("[chat] history cleared", file=sys.stderr)
             continue
         history = full + " " + job.output + "\n"
 

@@ -209,6 +209,21 @@ class Engine:
         self._thread: threading.Thread | None = None
         self._wake = threading.Event()
 
+    def _halving_rungs(self) -> list[int]:
+        """Every n_steps value the speculative path can select (the
+        halving ladder in _spec_steps). Warmup compiles them ALL — a
+        rung drifting out of sync with the selection logic is exactly
+        how mid-traffic compiles sneak back in, so both sides share
+        this one definition."""
+        rungs = []
+        n = max(1, self.decode_chunk_size)
+        while n >= 1:
+            rungs.append(n)
+            if n == 1:
+                break
+            n //= 2
+        return rungs
+
     def _make_cache(self) -> KVCache:
         return KVCache.create(self.config, batch=self.n_slots,
                               layered=self._cache_layered,
@@ -275,7 +290,9 @@ class Engine:
             reuse += 1
         # shrink reuse until the padded suffix fits the cache (a suffix
         # bucket starting near max_seq_len would clamp and corrupt the
-        # reused rows); worst case reuse=0 always fits since len(ids) < ctx
+        # reused rows). reuse=0 does NOT always fit: a non-bucket-aligned
+        # max_seq_len can make even a from-scratch chunked prefill
+        # overrun, hence the rejection below
         while reuse > 0 and not self._fits(reuse, len(ids)):
             reuse = max(0, reuse - 16)
         if not self._fits(reuse, len(ids)):
@@ -603,11 +620,14 @@ class Engine:
         # overshoot — every overshot step still streams all the weights
         # (measured 4x wasted reads at predict=64 with 32-step chunks)
         allowed = min(allowed, max(1, -(-rem_max // per_step)))
-        # power-of-two ladder (each distinct n_steps is an XLA program)
-        n = max(1, self.decode_chunk_size)
-        while n > max(allowed, 1):
-            n //= 2
-        return n if allowed >= 1 else 0
+        if allowed < 1:
+            return 0
+        # largest warmed ladder rung that fits (each distinct n_steps is
+        # an XLA program; warmup compiles every rung — _halving_rungs)
+        for n in self._halving_rungs():
+            if n <= allowed:
+                return n
+        return 1
 
     def _decode_speculative(self, active: np.ndarray, n_steps: int) -> None:
         from llamago_tpu.runtime.speculative import speculative_decode_chunk
@@ -708,12 +728,13 @@ class Engine:
             # chunk emits n tokens and feeds n+1 positions (incl. final
             # forward restoring the pending-logits invariant)
             allowed = min(allowed, ctx - slot.pos - 2)
-        # halve down to a power-of-two ladder: each distinct n_steps is a
-        # separate XLA compilation, so keep the set small
-        n = self.decode_chunk_size
-        while n > max(allowed, 1):
-            n //= 2
-        return max(n, 1)
+        # all-or-nothing: a partial chunk would need one XLA program per
+        # (n_steps rung x top-k rung) combination — a compile-set
+        # explosion warmup cannot realistically cover (3.5-200s/compile
+        # over remote transports). The short tail before a context swap
+        # decodes per-token instead; those single-step programs are
+        # always warmed.
+        return self.decode_chunk_size if allowed >= self.decode_chunk_size else 1
 
     def _decode_chunked(self, active, n_chunk, temp, top_k, top_p, rp) -> None:
         feed = np.zeros(self.n_slots, np.int32)
@@ -854,11 +875,7 @@ class Engine:
             # speculative scan mid-traffic
             from llamago_tpu.runtime.speculative import speculative_decode_chunk
 
-            spec_rungs = []
-            n = max(1, self.decode_chunk_size)
-            while n >= 1:
-                spec_rungs.append(n)
-                n //= 2
+            spec_rungs = self._halving_rungs()
             hist = jnp.zeros((self.n_slots, self.config.max_seq_len), jnp.int32)
             hlen = jnp.ones(self.n_slots, jnp.int32)
             for n_steps in spec_rungs:

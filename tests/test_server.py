@@ -239,3 +239,37 @@ def test_chat_mode_carries_history(tmp_path, monkeypatch, capsys):
     # the second turn carries the first turn's prompt AND reply
     assert submitted[1].startswith(submitted[0] + " ")
     assert submitted[1].endswith("again")
+
+
+def test_chat_overlong_input_and_overflow_recovery(monkeypatch, capsys):
+    """Review regressions: an input longer than the context is refused
+    without hanging (the old halving loop spun forever once history was
+    down to one char), and a too-long-in-tokens turn clears history
+    instead of wedging every subsequent turn."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from conftest import make_test_vocab, random_ggjt_tensors
+    from llamago_tpu.checkpoint.params import host_parameters
+    from llamago_tpu.cli import run_chat
+    from llamago_tpu.config import GenerateConfig, MODEL_PRESETS
+    from llamago_tpu.runtime.engine import Engine
+
+    config = MODEL_PRESETS["tiny"].replace(
+        dtype="float32", weight_dtype="float32", max_seq_len=64
+    )
+    tensors = random_ggjt_tensors(config, seed=5)
+    params = jax.tree.map(
+        lambda a: jnp.asarray(np.asarray(a, np.float32)),
+        host_parameters(config, tensors),
+    )
+    engine = Engine(config, params, make_test_vocab(), slots=1)
+    # turn 1 primes history; turn 2 is longer than the whole context
+    # (must be refused, not hang); turn 3 still works
+    prompts = iter(["hi", "x" * 100, "ok", ""])
+    monkeypatch.setattr("builtins.input", lambda *_: next(prompts))
+    gen = GenerateConfig(max_tokens=3, ctx_size=64, temp=0.0)
+    assert run_chat(engine, gen, None) == 0
+    err = capsys.readouterr().err
+    assert "exceeds the context" in err
