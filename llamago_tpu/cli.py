@@ -188,7 +188,7 @@ def _load_engine(args):
     so --help stays instant."""
     import jax
 
-    from llamago_tpu.checkpoint import load_parameters, read_ggjt
+    from llamago_tpu.checkpoint import load_parameters, read_checkpoint
     from llamago_tpu.runtime.engine import Engine
 
     def _tunneled_tpu() -> bool:
@@ -214,7 +214,8 @@ def _load_engine(args):
     t0 = time.time()
     if not args.silent:
         log("info", f"loading model {args.model} ...")
-    ckpt = read_ggjt(args.model, max_seq_len=args.context)
+    # magic-sniffing loader: ggjt v1 or GGUF (llama.cpp ecosystem)
+    ckpt = read_checkpoint(args.model, max_seq_len=args.context)
     file_quantized = ckpt.ftype in (2, 3, 7)  # Q4_0 / Q4_1 / Q8_0
     config = ckpt.config.replace(
         dtype=args.dtype,
