@@ -175,10 +175,11 @@ def quantize_ggjt(in_path: str, out_path: str, kind: str = "q8_0") -> str:
 
     ftype codes follow llama.cpp: 2 = mostly Q4_0, 7 = mostly Q8_0.
     """
-    from llamago_tpu.checkpoint.ggjt import read_ggjt, write_ggjt
+    from llamago_tpu.checkpoint.ggjt import write_ggjt
+    from llamago_tpu.checkpoint.gguf import read_checkpoint
 
     matmul_markers = (".wq.", ".wk.", ".wv.", ".wo.", ".w1.", ".w2.", ".w3.")
-    ckpt = read_ggjt(in_path)
+    ckpt = read_checkpoint(in_path)  # ggjt or GGUF input
     out: dict = {}
     for name, arr in ckpt.tensors.items():
         is_mat = name == "output.weight" or any(m in name for m in matmul_markers)

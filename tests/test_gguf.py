@@ -94,3 +94,15 @@ def test_gguf_vocab_tokenizes(tmp_path):
     ids_a = tokenize(vocab, " hello", bos=True)
     ids_b = tokenize(ckpt.vocab, " hello", bos=True)
     assert ids_a == ids_b
+
+
+def test_quantize_gguf_input(tmp_path):
+    """`quantize` accepts a GGUF f32 model and emits a Q8_0 ggjt file."""
+    from llamago_tpu.checkpoint.quant_file import quantize_ggjt
+
+    path, config, vocab, tensors = _fixture(tmp_path)
+    out = quantize_ggjt(path, str(tmp_path / "q8.bin"), "q8_0")
+    ckpt = read_checkpoint(out, max_seq_len=64)
+    assert ckpt.config.weight_dtype == "int8"
+    qt = ckpt.tensors["layers.0.attention.wq.weight"]
+    assert qt.kind == "q8_0"
