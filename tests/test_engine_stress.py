@@ -110,3 +110,56 @@ def test_debug_check_raises():
     dbg.DEBUG = False
     dbg.check(False, "inactive when off")  # no raise
     dbg.DEBUG = old
+
+
+def test_randomized_soak_mixed_configs(tiny_config, test_vocab):
+    """Randomized mix of temps, top-k extremes (0 / 100000), repeat
+    windows, seeds, deadlines, EOS stopping, and max_tokens past the
+    context (forcing swaps), with speculative + chunked decode on and
+    debug invariants armed: every job must FINISH within budget."""
+    import random
+
+    from llamago_tpu.checkpoint.params import load_parameters
+    from llamago_tpu.config import GenerateConfig
+
+    from conftest import random_ggjt_tensors
+
+    config = tiny_config.replace(dtype="float32", weight_dtype="int8",
+                                 max_seq_len=96)
+    tensors = random_ggjt_tensors(config, seed=20)
+    params = load_parameters(config, tensors)
+    eng = Engine(config, params, test_vocab, slots=3, decode_chunk_size=4,
+                 speculative=True, prefill_chunk=32)
+    old_debug = dbg.DEBUG
+    dbg.DEBUG = True
+    rng = random.Random(0)
+    jobs = []
+    try:
+        for _ in range(25):
+            gen = GenerateConfig(
+                max_tokens=rng.choice([3, 8, 20, 120]),
+                ctx_size=96,
+                temp=rng.choice([0.0, 0.0, 0.7, 1.2]),
+                top_k=rng.choice([0, 1, 40, 500, 100000]),
+                top_p=rng.choice([0.1, 0.9, 1.0]),
+                repeat_last_n=rng.choice([0, 4, 64]),
+                seed=rng.randint(-1, 5),
+                deadline_s=rng.choice([0, 0, 120]),
+                stop_at_eos=rng.random() < 0.3,
+            )
+            prompt = " ".join(
+                rng.choice(["hello", "the", "fox", "wo", "zig"])
+                for _ in range(rng.randint(1, 30)))
+            jobs.append(eng.submit(prompt, gen))
+            for _ in range(rng.randint(0, 6)):
+                eng.step()
+        for _ in range(3000):
+            if all(j.status not in (JobStatus.QUEUED, JobStatus.PROCESSING)
+                   for j in jobs):
+                break
+            eng.step()
+    finally:
+        dbg.DEBUG = old_debug
+    assert all(j.status == JobStatus.FINISHED for j in jobs), [
+        (j.status, j.error) for j in jobs if j.status != JobStatus.FINISHED]
+    assert all(len(j.output_tokens) <= j.gen.max_tokens for j in jobs)
