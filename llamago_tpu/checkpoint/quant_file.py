@@ -189,6 +189,13 @@ def quantize_ggjt(in_path: str, out_path: str, kind: str = "q8_0") -> str:
             out[name] = quantize_array(np.asarray(arr, np.float32), kind)
         else:
             out[name] = np.asarray(arr)
+    if out_path.endswith(".gguf"):
+        # GGUF out: interop back to the llama.cpp ecosystem (metadata
+        # carries GQA/rope natively — no sidecar needed)
+        from llamago_tpu.checkpoint.gguf import write_gguf
+
+        write_gguf(out_path, ckpt.config, ckpt.vocab, out)
+        return out_path
     ftype = {"q8_0": 7, "q4_0": 2, "q4_1": 3}[kind]  # llama.cpp codes
     write_ggjt(out_path, ckpt.config, ckpt.vocab, out, ftype=ftype)
     # carry the metadata the v1 header can't (rope_theta etc.) along

@@ -106,3 +106,15 @@ def test_quantize_gguf_input(tmp_path):
     assert ckpt.config.weight_dtype == "int8"
     qt = ckpt.tensors["layers.0.attention.wq.weight"]
     assert qt.kind == "q8_0"
+
+
+def test_quantize_to_gguf_output(tmp_path):
+    """ggjt f32 in -> Q4_0 GGUF out -> loads back with identical blocks."""
+    from llamago_tpu.checkpoint.quant_file import quantize_ggjt
+
+    path, config, vocab, tensors = _fixture(tmp_path)
+    out = quantize_ggjt(path, str(tmp_path / "q4.gguf"), "q4_0")
+    assert is_gguf(out)
+    ckpt = read_checkpoint(out, max_seq_len=64)
+    assert ckpt.config.weight_dtype == "int4"
+    assert ckpt.tensors["layers.0.attention.wq.weight"].kind == "q4_0"
