@@ -24,6 +24,12 @@ Name mapping (llama.cpp -> ggjt):
   blk.N.{attn_norm,ffn_norm} -> layers.N.{attention_norm,ffn_norm}.
 llama.cpp's HF converter un-permutes q/k back to the Meta interleaved
 RoPE layout, which is exactly what this model expects (ops/basic.py).
+
+Limitation: the tokenizer path assumes tokenizer.ggml.model = "llama"
+(sentencepiece-style scored pieces — the LLaMA-1/2 family, matching the
+reference's scope). BPE-tokenizer GGUFs (tokenizer.ggml.model = "gpt2",
+e.g. LLaMA-3) load their WEIGHTS fine but would tokenize incorrectly;
+read_gguf raises for them rather than generating garbage.
 """
 
 from __future__ import annotations
@@ -164,6 +170,15 @@ def read_gguf(path: str, max_seq_len: int = 1024) -> GGJTCheckpoint:
         key = r.string().decode()
         vtype = r.scalar("<I")
         meta[key] = r.value(vtype)
+
+    tok_model = meta.get("tokenizer.ggml.model", b"llama")
+    tok_model = tok_model.decode() if isinstance(tok_model, bytes) else tok_model
+    if tok_model != "llama":
+        raise ValueError(
+            f"{path}: tokenizer.ggml.model={tok_model!r} — only sentencepiece"
+            " ('llama') GGUF tokenizers are supported (LLaMA-1/2 family);"
+            " convert BPE-tokenizer models via the HF path instead"
+        )
 
     infos = []
     for _ in range(n_tensors):
