@@ -274,7 +274,7 @@ def write_gguf(path: str, config: ModelConfig, vocab: Vocab,
          (_T_I32, [_TOK_NORMAL] * len(vocab))),
     ]
     if extra_meta:
-        kv += list(extra_meta.items())
+        kv += [(k, vtype, v) for k, (vtype, v) in extra_meta.items()]
 
     rev_top = {v: k for k, v in _NAME_MAP.items()}
     rev_blk = {v: k for k, v in _BLK_MAP.items()}

@@ -118,3 +118,18 @@ def test_quantize_to_gguf_output(tmp_path):
     ckpt = read_checkpoint(out, max_seq_len=64)
     assert ckpt.config.weight_dtype == "int4"
     assert ckpt.tensors["layers.0.attention.wq.weight"].kind == "q4_0"
+
+
+def test_bpe_tokenizer_gguf_rejected(tmp_path):
+    """tokenizer.ggml.model='gpt2' (BPE, e.g. LLaMA-3 GGUFs) fails fast
+    with a pointer to the HF path instead of tokenizing garbage."""
+    import pytest
+
+    from llamago_tpu.checkpoint.gguf import _T_STRING
+
+    path, config, vocab, tensors = _fixture(tmp_path)
+    bpe = str(tmp_path / "bpe.gguf")
+    write_gguf(bpe, config, vocab, tensors,
+               extra_meta={"tokenizer.ggml.model": (_T_STRING, b"gpt2")})
+    with pytest.raises(ValueError, match="gpt2"):
+        read_checkpoint(bpe)
