@@ -25,11 +25,10 @@ Name mapping (llama.cpp -> ggjt):
 llama.cpp's HF converter un-permutes q/k back to the Meta interleaved
 RoPE layout, which is exactly what this model expects (ops/basic.py).
 
-Limitation: the tokenizer path assumes tokenizer.ggml.model = "llama"
-(sentencepiece-style scored pieces — the LLaMA-1/2 family, matching the
-reference's scope). BPE-tokenizer GGUFs (tokenizer.ggml.model = "gpt2",
-e.g. LLaMA-3) load their WEIGHTS fine but would tokenize incorrectly;
-read_gguf raises for them rather than generating garbage.
+Tokenizers: tokenizer.ggml.model = "llama" (sentencepiece scored
+pieces, LLaMA-1/2) uses the reference-parity tokenizer; "gpt2"
+(byte-level BPE, LLaMA-3 family) builds a tokenizer_bpe.BPEVocab from
+tokens+merges with the file's pre-tokenizer pattern and bos/eos ids.
 """
 
 from __future__ import annotations
@@ -171,14 +170,6 @@ def read_gguf(path: str, max_seq_len: int = 1024) -> GGJTCheckpoint:
         vtype = r.scalar("<I")
         meta[key] = r.value(vtype)
 
-    tok_model = meta.get("tokenizer.ggml.model", b"llama")
-    tok_model = tok_model.decode() if isinstance(tok_model, bytes) else tok_model
-    if tok_model != "llama":
-        raise ValueError(
-            f"{path}: tokenizer.ggml.model={tok_model!r} — only sentencepiece"
-            " ('llama') GGUF tokenizers are supported (LLaMA-1/2 family);"
-            " convert BPE-tokenizer models via the HF path instead"
-        )
 
     infos = []
     for _ in range(n_tensors):
@@ -217,7 +208,20 @@ def read_gguf(path: str, max_seq_len: int = 1024) -> GGJTCheckpoint:
             if ggml_type == _GGML_F16 and ftype == 0:
                 ftype = 1
 
-    vocab = _vocab_from_metadata(meta)
+    tok_model = meta.get("tokenizer.ggml.model", b"llama")
+    tok_model = tok_model.decode() if isinstance(tok_model, bytes) else tok_model
+    if tok_model == "gpt2":
+        # byte-level BPE (LLaMA-3 family) — own encoder, own bos/eos ids
+        from llamago_tpu.tokenizer_bpe import bpe_vocab_from_gguf
+
+        vocab = bpe_vocab_from_gguf(meta)
+    elif tok_model == "llama":
+        vocab = _vocab_from_metadata(meta)
+    else:
+        raise ValueError(
+            f"{path}: unsupported tokenizer.ggml.model={tok_model!r} "
+            "(supported: 'llama' sentencepiece, 'gpt2' byte-level BPE)"
+        )
     dim = int(meta["llama.embedding_length"])
     n_heads = int(meta["llama.attention.head_count"])
     config = ModelConfig(

@@ -208,6 +208,9 @@ class Engine:
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self._wake = threading.Event()
+        # EOS id comes from the vocab when it carries one (BPE vocabs);
+        # sentencepiece-family defaults to the reference's EOS=2
+        self._eos = getattr(vocab, "eos_id", EOS_TOKEN)
 
     def _halving_rungs(self) -> list[int]:
         """Every n_steps value the speculative path can select (the
@@ -267,8 +270,11 @@ class Engine:
         gen = job.gen
         job.started = time.time()
 
-        # Leading-space prompt normalization + BOS (reference: server.go:120-124).
-        ids = tokenize(self.vocab, " " + job.prompt, bos=True)
+        # Leading-space prompt normalization + BOS (reference:
+        # server.go:120-124) — a sentencepiece convention; byte-level BPE
+        # vocabs (LLaMA-3) opt out via space_prefix = False.
+        prefix = " " if getattr(self.vocab, "space_prefix", True) else ""
+        ids = tokenize(self.vocab, prefix + job.prompt, bos=True)
         ctx = min(gen.ctx_size, self.config.max_seq_len)
         if len(ids) >= ctx:
             job.status = JobStatus.FAILED
@@ -547,7 +553,7 @@ class Engine:
             slot.remaining -= 1
             if self.stream:
                 job.output = _render_output(self.vocab, job)
-            done = slot.remaining <= 0 or (job.gen.stop_at_eos and tok == EOS_TOKEN)
+            done = slot.remaining <= 0 or (job.gen.stop_at_eos and tok == self._eos)
             if done:
                 job.output = _render_output(self.vocab, job)
                 job.status = JobStatus.FINISHED
@@ -675,8 +681,8 @@ class Engine:
             for s in range(n_steps):
                 emitted.extend(int(t) for t in toks_h[i, s, : counts_h[i, s]])
             kept = emitted
-            if job.gen.stop_at_eos and EOS_TOKEN in emitted:
-                kept = emitted[: emitted.index(EOS_TOKEN) + 1]
+            if job.gen.stop_at_eos and self._eos in emitted:
+                kept = emitted[: emitted.index(self._eos) + 1]
             kept = kept[: slot.remaining]
             job.output_tokens.extend(kept)
             slot.history.extend(kept)
@@ -691,7 +697,7 @@ class Engine:
                 job.eval_ms.extend([dt_ms / len(kept)] * len(kept))
             job.output = _render_output(self.vocab, job)
             done = slot.remaining <= 0 or (
-                job.gen.stop_at_eos and kept and kept[-1] == EOS_TOKEN
+                job.gen.stop_at_eos and kept and kept[-1] == self._eos
             )
             if done:
                 job.status = JobStatus.FINISHED
@@ -772,8 +778,8 @@ class Engine:
                 continue
             job = slot.job
             emitted = [int(t) for t in toks[i]]
-            if job.gen.stop_at_eos and EOS_TOKEN in emitted:
-                emitted = emitted[: emitted.index(EOS_TOKEN) + 1]
+            if job.gen.stop_at_eos and self._eos in emitted:
+                emitted = emitted[: emitted.index(self._eos) + 1]
             # budget overshoot trim (see _chunkable): tokens past
             # max_tokens were computed but are discarded; the job finishes
             emitted = emitted[: max(slot.remaining, 0)]
@@ -784,7 +790,7 @@ class Engine:
             job.eval_ms.extend([dt_per_tok] * len(emitted))
             job.output = _render_output(self.vocab, job)
             done = slot.remaining <= 0 or (
-                job.gen.stop_at_eos and emitted and emitted[-1] == EOS_TOKEN
+                job.gen.stop_at_eos and emitted and emitted[-1] == self._eos
             )
             if done:
                 job.status = JobStatus.FINISHED

@@ -79,7 +79,14 @@ class Vocab:
 
 
 def tokenize(vocab: Vocab, text: str | bytes, bos: bool = False) -> list[int]:
-    """Greedy score-priority BPE (reference: Tokenize, pkg/ml/ml.go:2761-2848)."""
+    """Greedy score-priority BPE (reference: Tokenize, pkg/ml/ml.go:2761-2848).
+
+    Byte-level-BPE vocabs (tokenizer_bpe.BPEVocab, LLaMA-3 family)
+    dispatch to their own encoder."""
+    if hasattr(vocab, "encode"):
+        if isinstance(text, bytes):
+            text = text.decode("utf-8", "replace")
+        return vocab.encode(text, bos=bos)
     data = text.encode("utf-8") if isinstance(text, str) else text
 
     output: list[int] = []
@@ -153,5 +160,7 @@ def tokenize(vocab: Vocab, text: str | bytes, bos: bool = False) -> list[int]:
 
 
 def detokenize(vocab: Vocab, token_ids: list[int]) -> str:
+    if hasattr(vocab, "decode"):  # byte-level BPE vocab
+        return vocab.decode(token_ids)
     """Concatenate raw pieces (reference: Token2Str use in server.go:228-236)."""
     return b"".join(vocab.id_to_piece(t) for t in token_ids).decode("utf-8", errors="replace")

@@ -120,16 +120,17 @@ def test_quantize_to_gguf_output(tmp_path):
     assert ckpt.tensors["layers.0.attention.wq.weight"].kind == "q4_0"
 
 
-def test_bpe_tokenizer_gguf_rejected(tmp_path):
-    """tokenizer.ggml.model='gpt2' (BPE, e.g. LLaMA-3 GGUFs) fails fast
-    with a pointer to the HF path instead of tokenizing garbage."""
+def test_unknown_tokenizer_model_rejected(tmp_path):
+    """An unrecognized tokenizer.ggml.model fails fast instead of
+    tokenizing garbage (gpt2 byte-level BPE IS supported —
+    tests/test_tokenizer_bpe.py)."""
     import pytest
 
     from llamago_tpu.checkpoint.gguf import _T_STRING
 
     path, config, vocab, tensors = _fixture(tmp_path)
-    bpe = str(tmp_path / "bpe.gguf")
-    write_gguf(bpe, config, vocab, tensors,
-               extra_meta={"tokenizer.ggml.model": (_T_STRING, b"gpt2")})
-    with pytest.raises(ValueError, match="gpt2"):
-        read_checkpoint(bpe)
+    bad = str(tmp_path / "bad.gguf")
+    write_gguf(bad, config, vocab, tensors,
+               extra_meta={"tokenizer.ggml.model": (_T_STRING, b"wordpiece")})
+    with pytest.raises(ValueError, match="wordpiece"):
+        read_checkpoint(bad)

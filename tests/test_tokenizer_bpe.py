@@ -1,0 +1,167 @@
+"""Byte-level BPE tokenizer (tokenizer_bpe.py) vs the HF `tokenizers`
+library as an EXTERNAL ORACLE: a ByteLevel-BPE model trained by HF is
+loaded into our implementation, and encodings must match exactly on a
+corpus including unicode, emoji, numbers, contractions, and whitespace
+runs. The llama-bpe pattern variant gets hand-computed split checks."""
+
+import json
+
+import pytest
+
+from llamago_tpu.tokenizer import detokenize, tokenize
+from llamago_tpu.tokenizer_bpe import (
+    BPEVocab,
+    bytes_to_unicode,
+)
+
+CORPUS = [
+    "Hello world",
+    "Hello, world! It's Claude's 123rd test...",
+    "  leading and   multiple   spaces ",
+    "tabs\tand\nnewlines\r\n\r\nhere",
+    "numbers 1234567890 and 3.14159",
+    "unicode: héllo wörld — ünïcödé",
+    "emoji: 🚀🔥 and mixed 日本語テキスト",
+    "don't can't I'll we've they're it'd I'm",
+    "CamelCaseAndSNAKE_CASE mixed123abc",
+    "!!!???###$$$ %^&*()",
+    "",
+    " ",
+    "\n",
+    "a",
+]
+
+
+@pytest.fixture(scope="module")
+def trained():
+    tokenizers = pytest.importorskip("tokenizers")
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
+
+    tok = Tokenizer(models.BPE())
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False,
+                                                 use_regex=True)
+    tok.decoder = decoders.ByteLevel()
+    trainer = trainers.BpeTrainer(
+        vocab_size=600, show_progress=False,
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
+    )
+    text = " ".join(CORPUS) * 5 + " the quick brown fox jumps over the lazy dog " * 20
+    tok.train_from_iterator([text], trainer)
+    return tok
+
+
+def _to_bpe_vocab(tok) -> BPEVocab:
+    """Extract vocab+merges from a trained HF tokenizer into BPEVocab."""
+    data = json.loads(tok.to_str())
+    vocab_map = data["model"]["vocab"]
+    merges = data["model"]["merges"]
+    tokens = [None] * len(vocab_map)
+    for piece, idx in vocab_map.items():
+        tokens[idx] = piece
+    ranks = {}
+    for rank, m in enumerate(merges):
+        pair = tuple(m) if isinstance(m, list) else tuple(m.split(" "))
+        ranks[pair] = rank
+    return BPEVocab(tokens=tokens, merges=ranks, bos_id=0, eos_id=1,
+                    pattern="gpt2")
+
+
+def test_matches_hf_tokenizers_oracle(trained):
+    ours = _to_bpe_vocab(trained)
+    for text in CORPUS:
+        want = trained.encode(text).ids
+        got = tokenize(ours, text, bos=False)
+        assert got == want, (text, got, want)
+
+
+def test_roundtrip_decode(trained):
+    ours = _to_bpe_vocab(trained)
+    for text in CORPUS:
+        ids = tokenize(ours, text)
+        assert detokenize(ours, ids) == text, text
+
+
+def test_bos_and_eos_ids():
+    b2u = bytes_to_unicode()
+    tokens = ["<s>", "</s>"] + [b2u[b] for b in range(256)]
+    v = BPEVocab(tokens=tokens, merges={}, bos_id=0, eos_id=1)
+    ids = tokenize(v, "ab", bos=True)
+    assert ids[0] == 0
+    assert v.eos_id == 1 and not v.space_prefix
+
+
+def test_llama3_pattern_splits():
+    """Hand-checked splits of the llama-bpe pre-tokenizer: 1-3 digit
+    number groups and case-insensitive contractions."""
+    import regex
+
+    from llamago_tpu.tokenizer_bpe import LLAMA3_PATTERN
+
+    pat = regex.compile(LLAMA3_PATTERN)
+
+    def split(s):
+        return [m.group() for m in pat.finditer(s)]
+
+    assert split("12345") == ["123", "45"]
+    assert split("I'LL do it") == ["I", "'LL", " do", " it"]
+    assert split("hello\n\nworld") == ["hello", "\n\n", "world"]
+
+
+def test_gguf_bpe_model_loads_and_generates(tmp_path):
+    """A GGUF file with tokenizer.ggml.model='gpt2' loads into a working
+    BPE vocab and the engine generates with it (vocab-supplied eos/bos,
+    no leading-space normalization)."""
+    import dataclasses
+
+    from conftest import random_ggjt_tensors
+    from llamago_tpu.checkpoint.gguf import (
+        _T_ARRAY,
+        _T_STRING,
+        _T_U32,
+        read_checkpoint,
+        write_gguf,
+    )
+    from llamago_tpu.checkpoint.params import load_parameters
+    from llamago_tpu.config import MODEL_PRESETS, GenerateConfig
+    from llamago_tpu.runtime.engine import Engine, JobStatus
+
+    b2u = bytes_to_unicode()
+    pieces = ["<|begin|>", "<|end|>"] + [b2u[b] for b in range(256)]
+    config = dataclasses.replace(
+        MODEL_PRESETS["tiny"], vocab_size=len(pieces), max_seq_len=64,
+        dtype="float32", weight_dtype="float32",
+    )
+    tensors = random_ggjt_tensors(config, seed=9)
+    path = str(tmp_path / "bpe.gguf")
+    write_gguf(path, config, _DummyVocab(pieces), tensors, extra_meta={
+        "tokenizer.ggml.model": (_T_STRING, b"gpt2"),
+        "tokenizer.ggml.merges": (_T_ARRAY, (_T_STRING, [])),
+        "tokenizer.ggml.pre": (_T_STRING, b"llama-bpe"),
+        "tokenizer.ggml.bos_token_id": (_T_U32, 0),
+        "tokenizer.ggml.eos_token_id": (_T_U32, 1),
+    })
+    ckpt = read_checkpoint(path, max_seq_len=64)
+    assert isinstance(ckpt.vocab, BPEVocab)
+    assert ckpt.vocab.bos_id == 0 and ckpt.vocab.eos_id == 1
+    assert ckpt.vocab.pattern == "llama-bpe"
+
+    cfg = ckpt.config.replace(dtype="float32", weight_dtype="float32")
+    params = load_parameters(cfg, ckpt.tensors)
+    eng = Engine(cfg, params, ckpt.vocab, slots=1)
+    assert eng._eos == 1
+    job = eng.submit("hi", GenerateConfig(max_tokens=5, ctx_size=64, temp=0.0))
+    for _ in range(200):
+        eng.step()
+        if job.status not in (JobStatus.QUEUED, JobStatus.PROCESSING):
+            break
+    assert job.status == JobStatus.FINISHED, job.error
+
+
+class _DummyVocab:
+    """Adapter: write_gguf wants .tokens as (bytes, score) pairs."""
+
+    def __init__(self, pieces):
+        self.tokens = [(p.encode(), 0.0) for p in pieces]
+
+    def __len__(self):
+        return len(self.tokens)
