@@ -319,6 +319,8 @@ def hf_hparams(dir_model: str) -> dict:
         "rope_theta": hf.get("rope_theta", 10000.0),
         "norm_eps": hf.get("rms_norm_eps", 1e-5),
         "tie_word_embeddings": hf.get("tie_word_embeddings", False),
+        "bos_token_id": hf.get("bos_token_id", 0) or 0,
+        "eos_token_id": hf.get("eos_token_id", 1) or 1,
     }
 
 
@@ -412,6 +414,96 @@ def stream_hf_to_ggjt(
             f.write(np.ascontiguousarray(arr).tobytes())
 
 
+def stream_hf_to_gguf(
+    dir_model: str,
+    out_path: str,
+    config: ModelConfig,
+    hparams: dict,
+    ftype: int,
+) -> None:
+    """HF safetensors (LLaMA-3 family: tokenizer.json BPE, no
+    tokenizer.model) -> GGUF, in constant memory. GGUF is the right
+    container here because ggjt's scored-piece vocab cannot carry BPE
+    merges. Two passes: shapes via safetensors lazy slices build the
+    header; tensors then stream one at a time (q/k un-permuted, f16
+    coercion per the ftype policy)."""
+    import torch
+    from safetensors import safe_open
+
+    from llamago_tpu.checkpoint import gguf as G
+    from llamago_tpu.tokenizer_bpe import bpe_vocab_from_tokenizer_json
+
+    vocab = bpe_vocab_from_tokenizer_json(
+        os.path.join(dir_model, "tokenizer.json"),
+        bos_id=int(hparams.get("bos_token_id", 0)),
+        eos_id=int(hparams.get("eos_token_id", 1)),
+    )
+    files = _hf_safetensor_files(dir_model)
+    n_heads, n_kv = hparams["n_heads"], hparams["n_kv_heads"]
+
+    # ---- pass 1: names + shapes (+ tied-embedding bookkeeping)
+    entries: list[tuple[str, str, str, list[int]]] = []  # file, hf, mapped, shape
+    emb_entry = None
+    has_lm_head = False
+    for path in files:
+        with safe_open(path, framework="pt") as sf:
+            for hf_name in sf.keys():
+                mapped = _map_hf_name(hf_name)
+                if mapped is None:
+                    continue
+                shape = list(sf.get_slice(hf_name).get_shape())
+                entries.append((path, hf_name, mapped, shape))
+                if mapped == "tok_embeddings.weight":
+                    emb_entry = (path, hf_name, shape)
+                if mapped == "output.weight":
+                    has_lm_head = True
+    if not has_lm_head:
+        if emb_entry is None:
+            raise ValueError("no lm_head and no embeddings found")
+        entries.append((emb_entry[0], emb_entry[1], "output.weight",
+                        emb_entry[2]))
+
+    def np_dtype_for(shape):
+        return np.float16 if (ftype == 1 and len(shape) == 2) else np.float32
+
+    # ---- header (write_gguf's kv layout, but with BPE tokenizer metadata
+    # and tensor infos from the shape pass)
+    merges_sorted = [f"{a} {b}" for (a, b), _ in
+                     sorted(vocab.merges.items(), key=lambda kv: kv[1])]
+    extra = {
+        "tokenizer.ggml.model": (G._T_STRING, b"gpt2"),
+        "tokenizer.ggml.merges": (G._T_ARRAY,
+                                  (G._T_STRING,
+                                   [m.encode() for m in merges_sorted])),
+        "tokenizer.ggml.pre": (G._T_STRING, vocab.pattern.encode()),
+        "tokenizer.ggml.bos_token_id": (G._T_U32, vocab.bos_id),
+        "tokenizer.ggml.eos_token_id": (G._T_U32, vocab.eos_id),
+    }
+    infos = [
+        (mapped, list(reversed(shape)),
+         G._GGML_F16 if np_dtype_for(shape) == np.float16 else G._GGML_F32)
+        for _, _, mapped, shape in entries
+    ]
+    layout = G.write_gguf_header(
+        out_path, config, vocab, infos, extra_meta=extra,
+        sizes=[int(np.prod(s)) * np_dtype_for(s)().itemsize
+               for _, _, _, s in entries],
+    )
+
+    # ---- pass 2: stream tensor data to the recorded offsets
+    with open(out_path, "r+b") as f:
+        for (path, hf_name, mapped, shape), off in zip(entries, layout):
+            with safe_open(path, framework="pt") as sf:
+                arr = sf.get_tensor(hf_name).to(torch.float32).numpy()
+            if "q_proj" in hf_name:
+                arr = unpermute_hf_rope(arr, n_heads)
+            elif "k_proj" in hf_name:
+                arr = unpermute_hf_rope(arr, n_kv)
+            f.seek(off)
+            f.write(np.ascontiguousarray(
+                arr, dtype=np_dtype_for(shape)).tobytes())
+
+
 def convert(
     dir_model: str,
     out_path: str | None = None,
@@ -425,6 +517,7 @@ def convert(
 
     tensors: dict[str, np.ndarray] = {}
     stream_hf = False
+    bpe_hf = False
     if fmt == "hf":
         hparams = {}
         if not vocab_only:
@@ -434,11 +527,42 @@ def convert(
             else:  # legacy torch-bin checkpoints go through transformers
                 hparams, tensors = load_hf_checkpoint(dir_model)
         tok_path = os.path.join(dir_model, "tokenizer.model")
+        # LLaMA-3-family repos ship a BPE tokenizer.json instead of a
+        # sentencepiece tokenizer.model; those convert to GGUF (the only
+        # container of ours that carries BPE merges)
+        bpe_hf = (not os.path.exists(tok_path)
+                  and os.path.exists(os.path.join(dir_model, "tokenizer.json")))
     else:
         with open(os.path.join(dir_model, "params.json")) as f:
             hparams = json.load(f)
         tok_path = os.path.join(os.path.dirname(os.path.normpath(dir_model)),
                                 "tokenizer.model")
+
+    if bpe_hf:
+        if not stream_hf:
+            raise ValueError(
+                "BPE-tokenizer HF checkpoints need safetensors files "
+                "(torch-bin + tokenizer.json is not supported)")
+        config = ModelConfig(
+            vocab_size=hparams["vocab_size"],
+            dim=hparams["dim"],
+            n_layers=hparams["n_layers"],
+            n_heads=hparams["n_heads"],
+            n_kv_heads=hparams["n_kv_heads"],
+            multiple_of=hparams.get("multiple_of", 256),
+            ffn_dim=hparams["ffn_dim"],
+            rope_theta=float(hparams.get("rope_theta", 10000.0)),
+            norm_eps=float(hparams.get("norm_eps", 1e-5)),
+        )
+        if out_path is None:
+            suffix = "f32" if ftype == 0 else "f16"
+            out_path = os.path.join(dir_model, f"gguf-model-{suffix}.gguf")
+        elif not out_path.endswith(".gguf"):
+            raise ValueError(
+                "BPE-tokenizer models must convert to .gguf (ggjt's "
+                "scored-piece vocab cannot carry BPE merges)")
+        stream_hf_to_gguf(dir_model, out_path, config, hparams, ftype)
+        return out_path
 
     vocab = vocab_from_sp_model(tok_path)
     config = ModelConfig(

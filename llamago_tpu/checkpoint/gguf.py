@@ -257,10 +257,11 @@ def read_checkpoint(path: str, max_seq_len: int = 1024) -> GGJTCheckpoint:
     return read_ggjt(path, max_seq_len=max_seq_len)
 
 
-def write_gguf(path: str, config: ModelConfig, vocab: Vocab,
-               tensors: dict, extra_meta: dict | None = None) -> None:
-    """Minimal GGUF v3 writer (test fixtures + export interop). Tensors
-    are the ggjt structures: numpy [out, in] / [n] arrays or QuantTensor."""
+def _build_kv(config: ModelConfig, vocab, extra_meta: dict | None):
+    """Common metadata kv list. `vocab` may be the sentencepiece Vocab
+    ((bytes, score) pairs) or a BPEVocab (string pieces via
+    tokens_scored); extra_meta entries override/extend."""
+    pieces = getattr(vocab, "tokens_scored", None) or vocab.tokens
     kv: list[tuple[str, int, object]] = [
         ("general.architecture", _T_STRING, b"llama"),
         ("llama.embedding_length", _T_U32, config.dim),
@@ -271,38 +272,88 @@ def write_gguf(path: str, config: ModelConfig, vocab: Vocab,
         ("llama.rope.freq_base", _T_F32, config.rope_theta),
         ("llama.attention.layer_norm_rms_epsilon", _T_F32, config.norm_eps),
         ("tokenizer.ggml.tokens", _T_ARRAY,
-         (_T_STRING, [p for p, _ in vocab.tokens])),
+         (_T_STRING, [p for p, _ in pieces])),
         ("tokenizer.ggml.scores", _T_ARRAY,
-         (_T_F32, [s for _, s in vocab.tokens])),
+         (_T_F32, [s for _, s in pieces])),
         ("tokenizer.ggml.token_type", _T_ARRAY,
          (_T_I32, [_TOK_NORMAL] * len(vocab))),
     ]
     if extra_meta:
         kv += [(k, vtype, v) for k, (vtype, v) in extra_meta.items()]
+    return kv
 
+
+def _gguf_name(ggjt_name: str) -> str:
     rev_top = {v: k for k, v in _NAME_MAP.items()}
     rev_blk = {v: k for k, v in _BLK_MAP.items()}
+    if ggjt_name in rev_top:
+        return rev_top[ggjt_name]
+    _, idx, rest = ggjt_name.split(".", 2)
+    return f"blk.{idx}.{rev_blk[rest]}"
+
+
+def _emit_string(f, b: bytes):
+    f.write(struct.pack("<Q", len(b)))
+    f.write(b)
+
+
+def _emit_value(f, vtype: int, v):
+    if vtype in _SCALAR_FMT:
+        f.write(struct.pack(_SCALAR_FMT[vtype], v))
+    elif vtype == _T_STRING:
+        _emit_string(f, v)
+    elif vtype == _T_ARRAY:
+        etype, items = v
+        f.write(struct.pack("<IQ", etype, len(items)))
+        for it in items:
+            _emit_value(f, etype, it)
+
+
+def write_gguf_header(path: str, config: ModelConfig, vocab, infos,
+                      extra_meta: dict | None = None,
+                      sizes: list[int] | None = None) -> list[int]:
+    """Write a complete GGUF v3 header for tensors whose DATA will be
+    streamed in afterwards. `infos` = [(ggjt_name, ne, ggml_type)],
+    `sizes` = payload byte lengths. Reserves the data region and returns
+    each tensor's absolute file offset (for seek-writes by the streaming
+    converters)."""
+    kv = _build_kv(config, vocab, extra_meta)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<IIQQ", GGUF_MAGIC, 3, len(infos), len(kv)))
+        for key, vtype, v in kv:
+            _emit_string(f, key.encode())
+            f.write(struct.pack("<I", vtype))
+            _emit_value(f, vtype, v)
+        offsets = []
+        rel = 0
+        for (name, ne, ggml_type), nbytes in zip(infos, sizes):
+            _emit_string(f, _gguf_name(name).encode())
+            f.write(struct.pack("<I", len(ne)))
+            for d in ne:
+                f.write(struct.pack("<Q", d))
+            rel = (rel + 31) // 32 * 32
+            f.write(struct.pack("<IQ", ggml_type, rel))
+            offsets.append(rel)
+            rel += nbytes
+        pos = f.tell()
+        data_start = (pos + 31) // 32 * 32
+        f.write(b"\x00" * (data_start - pos))
+        f.seek(data_start + rel - 1)
+        f.write(b"\x00")  # reserve the data region
+    return [data_start + o for o in offsets]
+
+
+def write_gguf(path: str, config: ModelConfig, vocab, tensors: dict,
+               extra_meta: dict | None = None) -> None:
+    """Minimal GGUF v3 writer (test fixtures + export interop). Tensors
+    are the ggjt structures: numpy [out, in] / [n] arrays or QuantTensor."""
+    kv = _build_kv(config, vocab, extra_meta)
 
     def gguf_name(ggjt_name: str) -> str:
-        if ggjt_name in rev_top:
-            return rev_top[ggjt_name]
-        _, idx, rest = ggjt_name.split(".", 2)
-        return f"blk.{idx}.{rev_blk[rest]}"
+        return _gguf_name(ggjt_name)
 
-    def emit_string(f, b: bytes):
-        f.write(struct.pack("<Q", len(b)))
-        f.write(b)
-
-    def emit_value(f, vtype: int, v):
-        if vtype in _SCALAR_FMT:
-            f.write(struct.pack(_SCALAR_FMT[vtype], v))
-        elif vtype == _T_STRING:
-            emit_string(f, v)
-        elif vtype == _T_ARRAY:
-            etype, items = v
-            f.write(struct.pack("<IQ", etype, len(items)))
-            for it in items:
-                emit_value(f, etype, it)
+    emit_string = _emit_string
+    emit_value = _emit_value
 
     import io
 

@@ -80,7 +80,9 @@ class BPEVocab:
         self.token_to_id = {t: i for i, t in enumerate(self.tokens)}
         import regex
 
-        self._re = regex.compile(PATTERNS.get(self.pattern, GPT2_PATTERN))
+        # a known pattern NAME, or a raw regex (HF tokenizer.json carries
+        # the split pattern verbatim)
+        self._re = regex.compile(PATTERNS.get(self.pattern, self.pattern))
 
     def __len__(self) -> int:
         return len(self.tokens)
@@ -128,6 +130,44 @@ class BPEVocab:
         return [(t.encode(), 0.0) for t in self.tokens]
 
 
+def bpe_vocab_from_tokenizer_json(path: str, bos_id: int, eos_id: int) -> BPEVocab:
+    """Build from an HF tokenizer.json (BPE model — the LLaMA-3 family
+    ships these instead of sentencepiece tokenizer.model files). The
+    pre-tokenizer's split regex is lifted verbatim when present."""
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        data = json.load(f)
+    model = data.get("model", {})
+    if model.get("type") != "BPE":
+        raise ValueError(f"{path}: tokenizer.json model type "
+                         f"{model.get('type')!r} is not BPE")
+    vocab_map = model["vocab"]
+    size = max(vocab_map.values()) + 1
+    for extra in data.get("added_tokens", []):
+        size = max(size, int(extra["id"]) + 1)
+    tokens = [""] * size
+    for piece, idx in vocab_map.items():
+        tokens[idx] = piece
+    for extra in data.get("added_tokens", []):
+        tokens[int(extra["id"])] = extra["content"]
+    ranks = {}
+    for rank, m in enumerate(model.get("merges", [])):
+        pair = tuple(m) if isinstance(m, list) else tuple(m.split(" "))
+        ranks[pair] = rank
+
+    pattern = "gpt2"
+    pre = data.get("pre_tokenizer") or {}
+    chain = pre.get("pretokenizers", [pre])
+    for p in chain:
+        pat = (p or {}).get("pattern", {})
+        if isinstance(pat, dict) and "Regex" in pat:
+            pattern = pat["Regex"]
+            break
+    return BPEVocab(tokens=tokens, merges=ranks, bos_id=bos_id,
+                    eos_id=eos_id, pattern=pattern)
+
+
 def bpe_vocab_from_gguf(meta: dict) -> BPEVocab:
     """Build from GGUF metadata: tokenizer.ggml.{tokens,merges,pre,
     bos_token_id,eos_token_id}."""
@@ -140,10 +180,12 @@ def bpe_vocab_from_gguf(meta: dict) -> BPEVocab:
         merges[(left, right)] = rank
     pre = meta.get("tokenizer.ggml.pre", b"gpt2")
     pre = pre.decode() if isinstance(pre, bytes) else str(pre)
+    if pre not in PATTERNS and "\\p{" not in pre:
+        pre = "gpt2"  # unknown NAME; raw regexes pass through verbatim
     return BPEVocab(
         tokens=tokens,
         merges=merges,
         bos_id=int(meta.get("tokenizer.ggml.bos_token_id", 0)),
         eos_id=int(meta.get("tokenizer.ggml.eos_token_id", 1)),
-        pattern=pre if pre in PATTERNS else "gpt2",
+        pattern=pre,
     )

@@ -165,3 +165,54 @@ class _DummyVocab:
 
     def __len__(self):
         return len(self.tokens)
+
+
+def test_hf_bpe_convert_to_gguf_end_to_end(tmp_path, trained):
+    """A LLaMA-3-style HF checkpoint (safetensors + BPE tokenizer.json,
+    no tokenizer.model) converts to GGUF; the result tokenizes
+    identically to the HF tokenizer and its logits match transformers."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from llamago_tpu.checkpoint.convert import convert
+    from llamago_tpu.checkpoint.gguf import read_checkpoint
+    from llamago_tpu.checkpoint.params import load_parameters
+    from llamago_tpu.models.llama import forward
+    from llamago_tpu.runtime.kv_cache import KVCache
+
+    vocab_size = trained.get_vocab_size()
+    hf_config = transformers.LlamaConfig(
+        vocab_size=vocab_size, hidden_size=64, intermediate_size=176,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-5, rope_theta=500000.0,
+        tie_word_embeddings=False, bos_token_id=0, eos_token_id=1,
+    )
+    torch.manual_seed(5)
+    hf_model = transformers.LlamaForCausalLM(hf_config).eval()
+    d = tmp_path / "hf3"
+    hf_model.save_pretrained(str(d), safe_serialization=True)
+    trained.save(str(d / "tokenizer.json"))
+
+    out = convert(str(d), ftype=0, fmt="hf")
+    assert out.endswith(".gguf")
+    ckpt = read_checkpoint(out, max_seq_len=32)
+    assert isinstance(ckpt.vocab, BPEVocab)
+    assert ckpt.config.rope_theta == 500000.0
+    assert ckpt.config.kv_heads == 2
+
+    # tokenization parity with the HF tokenizer
+    for text in CORPUS[:8]:
+        assert tokenize(ckpt.vocab, text) == trained.encode(text).ids, text
+
+    # logits parity with transformers through the converted file
+    cfg = ckpt.config.replace(dtype="float32", weight_dtype="float32")
+    params = load_parameters(cfg, ckpt.tensors)
+    ids = np.array([[2, 17, 33, 4]], np.int32) % vocab_size
+    cache = KVCache.create(cfg, batch=1, dtype=jnp.float32)
+    ours, _ = forward(params, jnp.asarray(ids), cache,
+                      jnp.zeros(1, jnp.int32), cfg, return_all_logits=True)
+    with torch.no_grad():
+        theirs = hf_model(torch.from_numpy(ids.astype(np.int64))).logits.numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=0, atol=5e-3)
