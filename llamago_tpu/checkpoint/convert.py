@@ -319,9 +319,17 @@ def hf_hparams(dir_model: str) -> dict:
         "rope_theta": hf.get("rope_theta", 10000.0),
         "norm_eps": hf.get("rms_norm_eps", 1e-5),
         "tie_word_embeddings": hf.get("tie_word_embeddings", False),
-        "bos_token_id": hf.get("bos_token_id", 0) or 0,
-        "eos_token_id": hf.get("eos_token_id", 1) or 1,
+        "bos_token_id": _first_id(hf.get("bos_token_id"), 0),
+        "eos_token_id": _first_id(hf.get("eos_token_id"), 1),
     }
+
+
+def _first_id(v, default: int) -> int:
+    """Token-id config fields may be an int, a LIST of ints (LLaMA-3.x
+    Instruct eos_token_id), or absent; 0 is a valid id."""
+    if isinstance(v, list):
+        return int(v[0]) if v else default
+    return default if v is None else int(v)
 
 
 def _hf_safetensor_files(dir_model: str) -> list[str]:
@@ -466,26 +474,15 @@ def stream_hf_to_gguf(
     def np_dtype_for(shape):
         return np.float16 if (ftype == 1 and len(shape) == 2) else np.float32
 
-    # ---- header (write_gguf's kv layout, but with BPE tokenizer metadata
-    # and tensor infos from the shape pass)
-    merges_sorted = [f"{a} {b}" for (a, b), _ in
-                     sorted(vocab.merges.items(), key=lambda kv: kv[1])]
-    extra = {
-        "tokenizer.ggml.model": (G._T_STRING, b"gpt2"),
-        "tokenizer.ggml.merges": (G._T_ARRAY,
-                                  (G._T_STRING,
-                                   [m.encode() for m in merges_sorted])),
-        "tokenizer.ggml.pre": (G._T_STRING, vocab.pattern.encode()),
-        "tokenizer.ggml.bos_token_id": (G._T_U32, vocab.bos_id),
-        "tokenizer.ggml.eos_token_id": (G._T_U32, vocab.eos_id),
-    }
+    # ---- header: _build_kv emits the full BPE tokenizer metadata
+    # (model/merges/pre/bos/eos) directly from the BPEVocab
     infos = [
         (mapped, list(reversed(shape)),
          G._GGML_F16 if np_dtype_for(shape) == np.float16 else G._GGML_F32)
         for _, _, mapped, shape in entries
     ]
     layout = G.write_gguf_header(
-        out_path, config, vocab, infos, extra_meta=extra,
+        out_path, config, vocab, infos,
         sizes=[int(np.prod(s)) * np_dtype_for(s)().itemsize
                for _, _, _, s in entries],
     )

@@ -199,7 +199,7 @@ def read_gguf(path: str, max_seq_len: int = 1024) -> GGJTCheckpoint:
             tensors[mapped] = QuantTensor(kind=kind, raw=np.asarray(raw),
                                           shape=(out_dim, in_dim))
             ftype = {"q4_0": 2, "q4_1": 3, "q8_0": 7}[kind]
-        else:
+        elif ggml_type in (_GGML_F32, _GGML_F16):
             np_dtype = np.float32 if ggml_type == _GGML_F32 else np.float16
             count = in_dim * out_dim
             data = buf[start:start + count * np_dtype().itemsize].view(np_dtype)
@@ -207,6 +207,12 @@ def read_gguf(path: str, max_seq_len: int = 1024) -> GGJTCheckpoint:
             tensors[mapped] = data.reshape(shape)
             if ggml_type == _GGML_F16 and ftype == 0:
                 ftype = 1
+        else:
+            raise ValueError(
+                f"{path}: tensor {name!r} has unsupported ggml type "
+                f"{ggml_type} (supported: F32, F16, Q4_0, Q4_1, Q8_0 — "
+                "K-quant GGUFs need requantization, e.g. via llama.cpp)"
+            )
 
     tok_model = meta.get("tokenizer.ggml.model", b"llama")
     tok_model = tok_model.decode() if isinstance(tok_model, bytes) else tok_model
@@ -224,8 +230,12 @@ def read_gguf(path: str, max_seq_len: int = 1024) -> GGJTCheckpoint:
         )
     dim = int(meta["llama.embedding_length"])
     n_heads = int(meta["llama.attention.head_count"])
+    # embeddings may be padded past the tokenizer list; the optional
+    # llama.vocab_size key (or the embedding row count) is authoritative
+    emb = tensors.get("tok_embeddings.weight")
+    emb_rows = emb.shape[0] if emb is not None else len(vocab)
     config = ModelConfig(
-        vocab_size=len(vocab),
+        vocab_size=int(meta.get("llama.vocab_size", emb_rows)),
         dim=dim,
         n_layers=int(meta["llama.block_count"]),
         n_heads=n_heads,
@@ -257,13 +267,31 @@ def read_checkpoint(path: str, max_seq_len: int = 1024) -> GGJTCheckpoint:
     return read_ggjt(path, max_seq_len=max_seq_len)
 
 
+def _sp_piece_fields(piece: bytes):
+    """ggjt piece conventions -> (GGUF token text, token_type), inverse of
+    _vocab_from_metadata so sentencepiece vocabs survive a GGUF
+    round-trip (raw byte-fallback pieces become '<0xXX>' BYTE tokens —
+    writing them as NORMAL would corrupt them through the reader's
+    utf-8 'replace' decode)."""
+    if piece == " ⁇ ".encode():
+        return b"<unk>", _TOK_UNKNOWN
+    if piece == b"":
+        return b"", _TOK_CONTROL
+    if len(piece) == 1 and piece[0] >= 0x80:
+        return f"<0x{piece[0]:02X}>".encode(), _TOK_BYTE
+    return piece, _TOK_NORMAL
+
+
 def _build_kv(config: ModelConfig, vocab, extra_meta: dict | None):
-    """Common metadata kv list. `vocab` may be the sentencepiece Vocab
-    ((bytes, score) pairs) or a BPEVocab (string pieces via
-    tokens_scored); extra_meta entries override/extend."""
-    pieces = getattr(vocab, "tokens_scored", None) or vocab.tokens
+    """Common metadata kv list. `vocab` is the sentencepiece Vocab
+    ((bytes, score) pairs — piece types reconstructed) or a BPEVocab
+    (model/merges/pre/bos/eos emitted so the tokenizer survives any
+    GGUF round-trip); extra_meta entries override (the reader keeps the
+    LAST occurrence of a key)."""
     kv: list[tuple[str, int, object]] = [
         ("general.architecture", _T_STRING, b"llama"),
+        ("llama.context_length", _T_U32, config.max_seq_len),
+        ("llama.vocab_size", _T_U32, config.vocab_size),
         ("llama.embedding_length", _T_U32, config.dim),
         ("llama.block_count", _T_U32, config.n_layers),
         ("llama.attention.head_count", _T_U32, config.n_heads),
@@ -271,13 +299,44 @@ def _build_kv(config: ModelConfig, vocab, extra_meta: dict | None):
         ("llama.feed_forward_length", _T_U32, config.ffn_hidden),
         ("llama.rope.freq_base", _T_F32, config.rope_theta),
         ("llama.attention.layer_norm_rms_epsilon", _T_F32, config.norm_eps),
-        ("tokenizer.ggml.tokens", _T_ARRAY,
-         (_T_STRING, [p for p, _ in pieces])),
-        ("tokenizer.ggml.scores", _T_ARRAY,
-         (_T_F32, [s for _, s in pieces])),
-        ("tokenizer.ggml.token_type", _T_ARRAY,
-         (_T_I32, [_TOK_NORMAL] * len(vocab))),
     ]
+    from llamago_tpu.tokenizer_bpe import BPEVocab, PATTERNS
+
+    if isinstance(vocab, BPEVocab):
+        merges = [f"{a} {b}".encode() for (a, b), _ in
+                  sorted(vocab.merges.items(), key=lambda kv_: kv_[1])]
+        # prefer a NAME llama.cpp recognizes when the raw pattern is one
+        # of the known ones; raw regexes pass through for our own reader
+        pre = vocab.pattern
+        for name, pat in PATTERNS.items():
+            if pre == pat and name != "default":
+                pre = name
+                break
+        kv += [
+            ("tokenizer.ggml.model", _T_STRING, b"gpt2"),
+            ("tokenizer.ggml.tokens", _T_ARRAY,
+             (_T_STRING, [t.encode() for t in vocab.tokens])),
+            ("tokenizer.ggml.merges", _T_ARRAY, (_T_STRING, merges)),
+            ("tokenizer.ggml.pre", _T_STRING, pre.encode()),
+            ("tokenizer.ggml.bos_token_id", _T_U32, vocab.bos_id),
+            ("tokenizer.ggml.eos_token_id", _T_U32, vocab.eos_id),
+            ("tokenizer.ggml.token_type", _T_ARRAY,
+             (_T_I32, [_TOK_CONTROL if i in vocab.special_ids else _TOK_NORMAL
+                       for i in range(len(vocab))])),
+        ]
+    else:
+        texts, types = [], []
+        for piece, _ in vocab.tokens:
+            t, ty = _sp_piece_fields(piece)
+            texts.append(t)
+            types.append(ty)
+        kv += [
+            ("tokenizer.ggml.model", _T_STRING, b"llama"),
+            ("tokenizer.ggml.tokens", _T_ARRAY, (_T_STRING, texts)),
+            ("tokenizer.ggml.scores", _T_ARRAY,
+             (_T_F32, [s for _, s in vocab.tokens])),
+            ("tokenizer.ggml.token_type", _T_ARRAY, (_T_I32, types)),
+        ]
     if extra_meta:
         kv += [(k, vtype, v) for k, (vtype, v) in extra_meta.items()]
     return kv
@@ -346,53 +405,28 @@ def write_gguf_header(path: str, config: ModelConfig, vocab, infos,
 def write_gguf(path: str, config: ModelConfig, vocab, tensors: dict,
                extra_meta: dict | None = None) -> None:
     """Minimal GGUF v3 writer (test fixtures + export interop). Tensors
-    are the ggjt structures: numpy [out, in] / [n] arrays or QuantTensor."""
-    kv = _build_kv(config, vocab, extra_meta)
-
-    def gguf_name(ggjt_name: str) -> str:
-        return _gguf_name(ggjt_name)
-
-    emit_string = _emit_string
-    emit_value = _emit_value
-
-    import io
-
-    header = io.BytesIO()
-    header.write(struct.pack("<IIQQ", GGUF_MAGIC, 3, len(tensors), len(kv)))
-    for key, vtype, v in kv:
-        emit_string(header, key.encode())
-        header.write(struct.pack("<I", vtype))
-        emit_value(header, vtype, v)
-
+    are the ggjt structures: numpy [out, in] / [n] arrays or QuantTensor.
+    Thin wrapper over write_gguf_header + payload seek-writes (one
+    serialization of the header/alignment layout)."""
+    infos = []
     payloads: list[bytes] = []
-    offset = 0
     for name, arr in tensors.items():
         if isinstance(arr, QuantTensor):
             ggml_type = {"q4_0": _GGML_Q4_0, "q4_1": _GGML_Q4_1,
                          "q8_0": _GGML_Q8_0}[arr.kind]
-            dims = [arr.shape[1], arr.shape[0]]
+            ne = [arr.shape[1], arr.shape[0]]
             data = np.ascontiguousarray(arr.raw).tobytes()
         else:
             arr = np.ascontiguousarray(arr)
             ggml_type = _GGML_F32 if arr.dtype == np.float32 else _GGML_F16
-            dims = list(reversed(arr.shape))
+            ne = list(reversed(arr.shape))
             data = arr.tobytes()
-        emit_string(header, gguf_name(name).encode())
-        header.write(struct.pack("<I", len(dims)))
-        for d in dims:
-            header.write(struct.pack("<Q", d))
-        offset = (offset + 31) // 32 * 32
-        header.write(struct.pack("<IQ", ggml_type, offset))
+        infos.append((name, ne, ggml_type))
         payloads.append(data)
-        offset += len(data)
-
-    with open(path, "wb") as f:
-        f.write(header.getvalue())
-        pos = f.tell()
-        f.write(b"\x00" * (-pos % 32))
-        written = 0
-        for data in payloads:
-            f.write(b"\x00" * (-written % 32))
-            written += -written % 32
+    offsets = write_gguf_header(path, config, vocab, infos,
+                                extra_meta=extra_meta,
+                                sizes=[len(p) for p in payloads])
+    with open(path, "r+b") as f:
+        for off, data in zip(offsets, payloads):
+            f.seek(off)
             f.write(data)
-            written += len(data)

@@ -185,10 +185,20 @@ def quantize_ggjt(in_path: str, out_path: str, kind: str = "q8_0") -> str:
         is_mat = name == "output.weight" or any(m in name for m in matmul_markers)
         if isinstance(arr, QuantTensor):
             out[name] = arr  # already quantized
-        elif is_mat and getattr(arr, "ndim", 0) == 2:
+        elif (is_mat and getattr(arr, "ndim", 0) == 2
+              and arr.shape[1] % QK == 0):
             out[name] = quantize_array(np.asarray(arr, np.float32), kind)
         else:
+            # non-matmul leaves AND matmuls whose in_dim doesn't divide
+            # the 32-element block (quantizing would silently TRUNCATE
+            # the trailing elements) stay dense
             out[name] = np.asarray(arr)
+    from llamago_tpu.tokenizer_bpe import BPEVocab
+
+    if isinstance(ckpt.vocab, BPEVocab) and not out_path.endswith(".gguf"):
+        raise ValueError(
+            "BPE-tokenizer models must quantize to a .gguf output "
+            "(ggjt's scored-piece vocab cannot carry BPE merges)")
     if out_path.endswith(".gguf"):
         # GGUF out: interop back to the llama.cpp ecosystem (metadata
         # carries GQA/rope natively — no sidecar needed)

@@ -160,7 +160,10 @@ def quantize_params(config: ModelConfig, params, shardings=None):
         if is_quantized(leaf):  # pre-quantized (e.g. Q8_0/Q4_0 file blocks)
             leaf = {k: jnp.asarray(v) for k, v in leaf.items()}
             return _shard_quantized(leaf, sh)
-        if key in QUANT_LEAVES:
+        if (key in QUANT_LEAVES
+                and np.shape(leaf)[-2] % QK == 0):
+            # leaves whose in-dim doesn't divide the block size stay
+            # dense (mixed files: the quantizer leaves them dense too)
             return _shard_quantized(quantize(jnp.asarray(leaf, dtype), bits), sh)
         return put(jnp.asarray(leaf, dtype), sh)
 

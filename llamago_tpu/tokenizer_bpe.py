@@ -37,6 +37,7 @@ LLAMA3_PATTERN = (
 )
 PATTERNS = {"gpt2": GPT2_PATTERN, "llama-bpe": LLAMA3_PATTERN,
             "default": GPT2_PATTERN}
+_GGUF_TOK_CONTROL = 3  # tokenizer.ggml.token_type control/special code
 
 
 @functools.lru_cache(maxsize=1)
@@ -72,6 +73,9 @@ class BPEVocab:
     bos_id: int = 0
     eos_id: int = 1
     pattern: str = "gpt2"
+    # ids of control/special tokens (<|begin_of_text|> etc.) — skipped by
+    # decode so stop_at_eos generations don't render markup into text
+    special_ids: frozenset = frozenset()
     space_prefix = False  # no SP leading-space normalization (engine)
 
     token_to_id: dict[str, int] = field(init=False)
@@ -119,7 +123,13 @@ class BPEVocab:
 
     def decode(self, ids: list[int]) -> str:
         u2b = unicode_to_bytes()
-        chars = "".join(self.tokens[i] for i in ids if 0 <= i < len(self.tokens))
+        # special tokens are markup, not text (sentencepiece control
+        # pieces are empty strings; BPE specials like <|end_of_text|>
+        # would otherwise render literally into every stop_at_eos
+        # generation)
+        chars = "".join(self.tokens[i] for i in ids
+                        if 0 <= i < len(self.tokens)
+                        and i not in self.special_ids)
         data = bytes(u2b[c] for c in chars if c in u2b)
         return data.decode("utf-8", "replace")
 
@@ -149,8 +159,11 @@ def bpe_vocab_from_tokenizer_json(path: str, bos_id: int, eos_id: int) -> BPEVoc
     tokens = [""] * size
     for piece, idx in vocab_map.items():
         tokens[idx] = piece
+    specials = set()
     for extra in data.get("added_tokens", []):
         tokens[int(extra["id"])] = extra["content"]
+        if extra.get("special"):
+            specials.add(int(extra["id"]))
     ranks = {}
     for rank, m in enumerate(model.get("merges", [])):
         pair = tuple(m) if isinstance(m, list) else tuple(m.split(" "))
@@ -165,7 +178,8 @@ def bpe_vocab_from_tokenizer_json(path: str, bos_id: int, eos_id: int) -> BPEVoc
             pattern = pat["Regex"]
             break
     return BPEVocab(tokens=tokens, merges=ranks, bos_id=bos_id,
-                    eos_id=eos_id, pattern=pattern)
+                    eos_id=eos_id, pattern=pattern,
+                    special_ids=frozenset(specials | {bos_id, eos_id}))
 
 
 def bpe_vocab_from_gguf(meta: dict) -> BPEVocab:
@@ -181,11 +195,25 @@ def bpe_vocab_from_gguf(meta: dict) -> BPEVocab:
     pre = meta.get("tokenizer.ggml.pre", b"gpt2")
     pre = pre.decode() if isinstance(pre, bytes) else str(pre)
     if pre not in PATTERNS and "\\p{" not in pre:
-        pre = "gpt2"  # unknown NAME; raw regexes pass through verbatim
+        import warnings
+
+        warnings.warn(
+            f"unknown tokenizer.ggml.pre={pre!r}; falling back to the "
+            "gpt2 pre-tokenizer — token boundaries may differ from the "
+            "model's training tokenizer", stacklevel=2)
+        pre = "gpt2"
+    import numpy as np
+
+    types = meta.get("tokenizer.ggml.token_type", np.array([], np.int32))
+    specials = {i for i, t in enumerate(np.asarray(types).tolist())
+                if t == _GGUF_TOK_CONTROL}
+    bos_id = int(meta.get("tokenizer.ggml.bos_token_id", 0))
+    eos_id = int(meta.get("tokenizer.ggml.eos_token_id", 1))
     return BPEVocab(
         tokens=tokens,
         merges=merges,
-        bos_id=int(meta.get("tokenizer.ggml.bos_token_id", 0)),
-        eos_id=int(meta.get("tokenizer.ggml.eos_token_id", 1)),
+        bos_id=bos_id,
+        eos_id=eos_id,
         pattern=pre,
+        special_ids=frozenset(specials | {bos_id, eos_id}),
     )

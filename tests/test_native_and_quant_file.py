@@ -200,3 +200,41 @@ def test_q4_1_end_to_end_forward(tiny_config, test_vocab, tmp_path):
         jnp.zeros(1, jnp.int32), qconfig,
     )
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_quantize_skips_non_block_aligned_tensors(tmp_path):
+    """A matmul whose in-dim doesn't divide the 32-element block (e.g. a
+    176-wide FFN) must stay DENSE through quantize + reload — quantizing
+    it would silently truncate the trailing elements, and the loader
+    used to re-quantize such leaves and assert."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from conftest import make_test_vocab, random_ggjt_tensors
+    from llamago_tpu.checkpoint.gguf import read_checkpoint
+    from llamago_tpu.checkpoint.ggjt import write_ggjt
+    from llamago_tpu.checkpoint.params import load_parameters
+    from llamago_tpu.config import MODEL_PRESETS
+    from llamago_tpu.ops.quant import is_quantized
+
+    vocab = make_test_vocab()
+    config = dataclasses.replace(
+        MODEL_PRESETS["tiny"], vocab_size=len(vocab), ffn_dim=176,
+        max_seq_len=64, dtype="float32",
+    )
+    tensors = random_ggjt_tensors(config, seed=14)
+    src = str(tmp_path / "odd-ffn.bin")
+    write_ggjt(src, config, vocab, tensors, ftype=0)
+    out = quantize_ggjt(src, str(tmp_path / "odd-ffn-q8.bin"), "q8_0")
+    ckpt = read_checkpoint(out, max_seq_len=64)
+    # w1 (in=64) quantized; w2 (in=176) stays dense
+    assert isinstance(ckpt.tensors["layers.0.feed_forward.w1.weight"], QuantTensor)
+    w2 = ckpt.tensors["layers.0.feed_forward.w2.weight"]
+    assert not isinstance(w2, QuantTensor)
+    params = load_parameters(
+        ckpt.config.replace(dtype="float32"), ckpt.tensors)
+    assert is_quantized(params["layers"]["w1"])
+    assert not is_quantized(params["layers"]["w2"])
+    jax.block_until_ready(jnp.asarray(params["layers"]["w2"]))

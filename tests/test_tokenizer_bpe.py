@@ -216,3 +216,59 @@ def test_hf_bpe_convert_to_gguf_end_to_end(tmp_path, trained):
     with torch.no_grad():
         theirs = hf_model(torch.from_numpy(ids.astype(np.int64))).logits.numpy()
     np.testing.assert_allclose(np.asarray(ours), theirs, rtol=0, atol=5e-3)
+
+
+def test_bpe_gguf_quantize_roundtrip(tmp_path, trained):
+    """Quantizing a BPE-tokenizer GGUF keeps the FULL tokenizer (model=
+    gpt2, merges, pattern, bos/eos, specials) — it used to silently
+    reload as a sentencepiece vocab and generate garbage. A non-.gguf
+    output is rejected with a clear error."""
+    import dataclasses
+
+    import pytest
+
+    from conftest import random_ggjt_tensors
+    from llamago_tpu.checkpoint.gguf import read_checkpoint, write_gguf
+    from llamago_tpu.checkpoint.quant_file import quantize_ggjt
+    from llamago_tpu.config import MODEL_PRESETS
+
+    vocab = _to_bpe_vocab(trained)
+    config = dataclasses.replace(
+        MODEL_PRESETS["tiny"], vocab_size=len(vocab), max_seq_len=64)
+    tensors = random_ggjt_tensors(config, seed=11)
+    src = str(tmp_path / "bpe-f32.gguf")
+    write_gguf(src, config, vocab, tensors)
+
+    out = quantize_ggjt(src, str(tmp_path / "bpe-q8.gguf"), "q8_0")
+    ckpt = read_checkpoint(out, max_seq_len=64)
+    assert isinstance(ckpt.vocab, BPEVocab)
+    assert ckpt.vocab.bos_id == vocab.bos_id
+    assert ckpt.config.weight_dtype == "int8"
+    for text in CORPUS[:6]:
+        assert tokenize(ckpt.vocab, text) == tokenize(vocab, text), text
+
+    with pytest.raises(ValueError, match="gguf"):
+        quantize_ggjt(src, str(tmp_path / "bpe-q8.bin"), "q8_0")
+
+
+def test_sp_vocab_survives_gguf_roundtrip():
+    """Sentencepiece byte-fallback pieces (raw non-UTF8 bytes) survive a
+    write_gguf -> read_gguf cycle via BYTE-typed '<0xXX>' tokens (they
+    used to come back as U+FFFD replacement runs)."""
+    import dataclasses
+    import tempfile
+
+    from conftest import make_test_vocab, random_ggjt_tensors
+    from llamago_tpu.checkpoint.gguf import read_checkpoint, write_gguf
+    from llamago_tpu.config import MODEL_PRESETS
+
+    vocab = make_test_vocab()
+    config = dataclasses.replace(
+        MODEL_PRESETS["tiny"], vocab_size=len(vocab), max_seq_len=64)
+    tensors = random_ggjt_tensors(config, seed=12)
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/sp.gguf"
+        write_gguf(path, config, vocab, tensors)
+        ckpt = read_checkpoint(path, max_seq_len=64)
+    for i in range(len(vocab)):
+        assert ckpt.vocab.id_to_piece(i) == vocab.id_to_piece(i), i
