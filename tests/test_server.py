@@ -273,3 +273,60 @@ def test_chat_overlong_input_and_overflow_recovery(monkeypatch, capsys):
     assert run_chat(engine, gen, None) == 0
     err = capsys.readouterr().err
     assert "exceeds the context" in err
+
+
+def test_sse_streaming_endpoint(tmp_path):
+    """GET /jobs/stream/:id pushes output deltas as SSE events and ends
+    with an `event: done` carrying the final job record; the concatenated
+    deltas equal the job's output."""
+    import http.client
+    import json as _json
+    import uuid as _uuid
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from conftest import make_test_vocab, random_ggjt_tensors
+    from llamago_tpu.checkpoint.params import host_parameters
+    from llamago_tpu.config import GenerateConfig, MODEL_PRESETS, ServerConfig
+    from llamago_tpu.runtime.engine import Engine
+    from llamago_tpu.server.api import JobServer
+
+    config = MODEL_PRESETS["tiny"].replace(
+        dtype="float32", weight_dtype="float32", max_seq_len=64)
+    tensors = random_ggjt_tensors(config, seed=17)
+    params = jax.tree.map(
+        lambda a: jnp.asarray(np.asarray(a, np.float32)),
+        host_parameters(config, tensors))
+    engine = Engine(config, params, make_test_vocab(), slots=1)
+    gen = GenerateConfig(max_tokens=8, ctx_size=64, temp=0.0)
+    server = JobServer(engine, ServerConfig(host="127.0.0.1", port=0), gen)
+    server.start_background()
+    try:
+        jid = str(_uuid.uuid4())
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+        conn.request("POST", "/jobs/",
+                     body=_json.dumps({"id": jid, "prompt": "hello"}))
+        assert conn.getresponse().status == 200
+        conn.request("GET", f"/jobs/stream/{jid}")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type") == "text/event-stream"
+        deltas, done = [], None
+        event = None
+        while True:
+            line = resp.fp.readline().decode()
+            if line.startswith("event:"):
+                event = line.split(":", 1)[1].strip()
+            elif line.startswith("data:"):
+                payload = _json.loads(line.split(":", 1)[1])
+                if event == "done":
+                    done = payload
+                    break
+                deltas.append(payload["delta"])
+                event = None
+        assert done is not None and done["status"] == "finished"
+        assert "".join(deltas) == done["output"]
+    finally:
+        server.shutdown()
