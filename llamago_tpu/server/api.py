@@ -213,14 +213,88 @@ def _make_handler(server: JobServer):
             self.wfile.write(data)
 
         def do_POST(self):
-            if self.path.rstrip("/") != "/jobs":
+            path = self.path.rstrip("/")
+            if path not in ("/jobs", "/v1/completions"):
                 return self._send(404, "Not found")
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n) or b"{}")
             except (ValueError, json.JSONDecodeError):
                 return self._send(400, "Malformed JSON body")
+            if path == "/v1/completions":
+                return self._completions(payload)
             self._send(*server.new_job(payload))
+
+        def _completions(self, payload: dict) -> None:
+            """OpenAI-compatible completions (beyond reference parity):
+            blocking by default, SSE chunks with "stream": true — so
+            standard OpenAI-API clients can point at this server."""
+            prompt = payload.get("prompt", "")
+            if isinstance(prompt, list):
+                prompt = prompt[0] if prompt else ""
+            overrides = {}
+            for src, dst in (("max_tokens", "max_tokens"),
+                             ("temperature", "temp"), ("top_p", "top_p"),
+                             ("seed", "seed")):
+                if payload.get(src) is not None:
+                    overrides[dst] = payload[src]
+            gen = server.gen_defaults.replace(**overrides) \
+                if overrides else server.gen_defaults
+            if len(prompt) >= gen.ctx_size:
+                return self._send(400, {"error": {
+                    "message": f"prompt of {len(prompt)} chars exceeds "
+                               f"context {gen.ctx_size}", "type": "invalid_request_error"}})
+            job_id = str(uuid.uuid4())
+            job = server.place_job(job_id, prompt, gen)
+
+            def body(text, finish):
+                return {
+                    "id": f"cmpl-{job_id}",
+                    "object": "text_completion",
+                    "created": int(job.created),
+                    "model": server.model_name,
+                    "choices": [{"text": text, "index": 0,
+                                 "logprobs": None, "finish_reason": finish}],
+                }
+
+            if payload.get("stream"):
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.end_headers()
+                shown = 0
+                try:
+                    while True:
+                        out = job.output
+                        if len(out) > shown:
+                            chunk = body(out[shown:], None)
+                            shown = len(out)
+                            self.wfile.write(
+                                f"data: {json.dumps(chunk)}\n\n".encode())
+                            self.wfile.flush()
+                        if job.status in (JobStatus.FINISHED, JobStatus.FAILED):
+                            final = body("", "stop" if job.status ==
+                                         JobStatus.FINISHED else "error")
+                            self.wfile.write(
+                                f"data: {json.dumps(final)}\n\n".encode())
+                            self.wfile.write(b"data: [DONE]\n\n")
+                            self.wfile.flush()
+                            return
+                        time.sleep(0.05)
+                except (BrokenPipeError, ConnectionResetError):
+                    return
+            # blocking completion (the OpenAI default)
+            while job.status not in (JobStatus.FINISHED, JobStatus.FAILED):
+                time.sleep(0.02)
+            if job.status == JobStatus.FAILED:
+                return self._send(500, {"error": {
+                    "message": job.error, "type": "server_error"}})
+            resp = body(job.output, "stop")
+            resp["usage"] = {
+                "prompt_tokens": job.prompt_tokens,
+                "completion_tokens": len(job.output_tokens),
+                "total_tokens": job.prompt_tokens + len(job.output_tokens),
+            }
+            self._send(200, resp)
 
         def do_GET(self):
             parts = [p for p in self.path.split("/") if p]

@@ -330,3 +330,66 @@ def test_sse_streaming_endpoint(tmp_path):
         assert "".join(deltas) == done["output"]
     finally:
         server.shutdown()
+
+
+def test_openai_completions_endpoint():
+    """POST /v1/completions: blocking response in the OpenAI schema, and
+    stream=true delivers SSE chunks ending with [DONE]."""
+    import http.client
+    import json as _json
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from conftest import make_test_vocab, random_ggjt_tensors
+    from llamago_tpu.checkpoint.params import host_parameters
+    from llamago_tpu.config import GenerateConfig, MODEL_PRESETS, ServerConfig
+    from llamago_tpu.runtime.engine import Engine
+    from llamago_tpu.server.api import JobServer
+
+    config = MODEL_PRESETS["tiny"].replace(
+        dtype="float32", weight_dtype="float32", max_seq_len=64)
+    tensors = random_ggjt_tensors(config, seed=18)
+    params = jax.tree.map(
+        lambda a: jnp.asarray(np.asarray(a, np.float32)),
+        host_parameters(config, tensors))
+    engine = Engine(config, params, make_test_vocab(), slots=1)
+    gen = GenerateConfig(max_tokens=6, ctx_size=64, temp=0.0)
+    server = JobServer(engine, ServerConfig(host="127.0.0.1", port=0), gen,
+                       model_name="tiny")
+    server.start_background()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=60)
+        conn.request("POST", "/v1/completions", body=_json.dumps(
+            {"model": "tiny", "prompt": "hello", "max_tokens": 4,
+             "temperature": 0}))
+        resp = conn.getresponse()
+        assert resp.status == 200
+        data = _json.loads(resp.read())
+        assert data["object"] == "text_completion"
+        assert data["model"] == "tiny"
+        assert data["choices"][0]["finish_reason"] == "stop"
+        assert data["usage"]["completion_tokens"] == 4
+        assert isinstance(data["choices"][0]["text"], str)
+
+        conn.request("POST", "/v1/completions", body=_json.dumps(
+            {"prompt": "again", "max_tokens": 4, "stream": True}))
+        resp = conn.getresponse()
+        assert resp.status == 200
+        chunks, done = [], False
+        while True:
+            line = resp.fp.readline().decode()
+            if not line.startswith("data:"):
+                continue
+            payload = line.split(":", 1)[1].strip()
+            if payload == "[DONE]":
+                done = True
+                break
+            chunks.append(_json.loads(payload))
+        assert done
+        assert chunks[-1]["choices"][0]["finish_reason"] == "stop"
+        text = "".join(c["choices"][0]["text"] for c in chunks)
+        assert len(text) > 0
+    finally:
+        server.shutdown()
