@@ -300,6 +300,10 @@ def _make_handler(server: JobServer):
             parts = [p for p in self.path.split("/") if p]
             if parts == ["health"]:
                 return self._send(*server.health())
+            if parts == ["v1", "models"]:  # OpenAI client startup probe
+                return self._send(200, {"object": "list", "data": [
+                    {"id": server.model_name, "object": "model",
+                     "owned_by": "llamago_tpu"}]})
             if parts == ["metrics"]:
                 return self._send(*server.metrics())
             if len(parts) == 3 and parts[:2] == ["jobs", "status"]:

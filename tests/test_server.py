@@ -361,6 +361,10 @@ def test_openai_completions_endpoint():
     server.start_background()
     try:
         conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=60)
+        conn.request("GET", "/v1/models")
+        models = _json.loads(conn.getresponse().read())
+        assert models["data"][0]["id"] == "tiny"
+
         conn.request("POST", "/v1/completions", body=_json.dumps(
             {"model": "tiny", "prompt": "hello", "max_tokens": 4,
              "temperature": 0}))
