@@ -121,6 +121,10 @@ class GenerateConfig:
     top_p: float = 0.95            # TopP (main.go:88)
     repeat_penalty: float = 1.10   # PenaltyRepeat (main.go:90)
     repeat_last_n: int = 1024      # PenaltyLastN = ctx (main.go:89)
+    # stop SEQUENCES (beyond reference parity; OpenAI-style): generation
+    # ends when any appears in the rendered output, which is truncated
+    # at the first occurrence
+    stop: tuple = ()
     batch_size: int = 1024         # BatchSize = ctx (main.go:86)
     keep_count: int = 0            # KeepCount (never set by ref CLI, llama.go:47)
     seed: int = -1                 # --seed; -1 => time-based

@@ -551,11 +551,11 @@ class Engine:
                 job.ttft_ms = (now - job.started) * 1000.0
             slot.history.append(tok)
             slot.remaining -= 1
-            if self.stream:
-                job.output = _render_output(self.vocab, job)
-            done = slot.remaining <= 0 or (job.gen.stop_at_eos and tok == self._eos)
+            job.output = _render_output(self.vocab, job)
+            stopped = self._stop_hit(job)
+            done = (stopped or slot.remaining <= 0
+                    or (job.gen.stop_at_eos and tok == self._eos))
             if done:
-                job.output = _render_output(self.vocab, job)
                 job.status = JobStatus.FINISHED
                 job.finished = time.time()
                 slot.job = None
@@ -696,7 +696,7 @@ class Engine:
             if kept:
                 job.eval_ms.extend([dt_ms / len(kept)] * len(kept))
             job.output = _render_output(self.vocab, job)
-            done = slot.remaining <= 0 or (
+            done = self._stop_hit(job) or slot.remaining <= 0 or (
                 job.gen.stop_at_eos and kept and kept[-1] == self._eos
             )
             if done:
@@ -789,7 +789,7 @@ class Engine:
             slot.pos += n_chunk + 1
             job.eval_ms.extend([dt_per_tok] * len(emitted))
             job.output = _render_output(self.vocab, job)
-            done = slot.remaining <= 0 or (
+            done = self._stop_hit(job) or slot.remaining <= 0 or (
                 job.gen.stop_at_eos and emitted and emitted[-1] == self._eos
             )
             if done:
@@ -945,6 +945,18 @@ class Engine:
                 slot.job.error = msg
                 slot.job.finished = time.time()
                 slot.job = None
+
+    def _stop_hit(self, job) -> bool:
+        """Truncate job.output at the first stop-sequence occurrence
+        (OpenAI-style `stop`); True if one matched. Searching the whole
+        rendered output each time handles sequences spanning token (and
+        detokenization) boundaries for free."""
+        for seq in job.gen.stop or ():
+            idx = job.output.find(seq)
+            if idx >= 0:
+                job.output = job.output[:idx]
+                return True
+        return False
 
     def expired_job_ids(self, now: float | None = None) -> list[str]:
         """Active jobs past their wall-clock deadline. Split from the

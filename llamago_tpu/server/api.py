@@ -87,6 +87,9 @@ class JobServer:
                       "max_tokens", "seed", "stop_at_eos", "deadline_s")
             if k in payload
         }
+        if payload.get("stop"):
+            stop = payload["stop"]
+            overrides["stop"] = tuple([stop] if isinstance(stop, str) else stop)
         gen = self.gen_defaults.replace(**overrides) if overrides else None
         job = self.place_job(job_id, prompt, gen)
         return 200, {
@@ -238,6 +241,10 @@ def _make_handler(server: JobServer):
                              ("seed", "seed")):
                 if payload.get(src) is not None:
                     overrides[dst] = payload[src]
+            if payload.get("stop"):
+                stop = payload["stop"]
+                overrides["stop"] = tuple(
+                    [stop] if isinstance(stop, str) else stop)
             gen = server.gen_defaults.replace(**overrides) \
                 if overrides else server.gen_defaults
             if len(prompt) >= gen.ctx_size:

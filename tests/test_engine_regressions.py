@@ -335,3 +335,30 @@ def test_top_k_zero_means_full_vocab(setup):
     _drain(eng, job)
     assert job.status == JobStatus.FINISHED
     assert len(job.output_tokens) > 0
+
+
+def test_stop_sequences_truncate_and_finish(setup):
+    """OpenAI-style stop sequences: generation ends when a stop string
+    appears in the rendered output, truncated at the first occurrence —
+    across the per-token, chunked, and speculative decode paths."""
+    config, params, vocab = setup
+    for chunk, spec in ((1, False), (4, False), (4, True)):
+        eng = Engine(config, params, vocab, slots=1, decode_chunk_size=chunk,
+                     speculative=spec)
+        # learn what greedy emits first, then stop on a substring of it
+        probe = eng.submit("hello", GenerateConfig(max_tokens=8, ctx_size=64,
+                                                   temp=0.0))
+        _drain(eng, probe)
+        assert probe.status == JobStatus.FINISHED
+        if len(probe.output) < 2:
+            continue  # degenerate render; other configs still assert
+        stop_seq = probe.output[1:3]
+        eng2 = Engine(config, params, vocab, slots=1,
+                      decode_chunk_size=chunk, speculative=spec)
+        job = eng2.submit("hello", GenerateConfig(
+            max_tokens=8, ctx_size=64, temp=0.0, stop=(stop_seq,)))
+        _drain(eng2, job)
+        assert job.status == JobStatus.FINISHED
+        assert stop_seq not in job.output, (chunk, spec, job.output)
+        assert job.output == probe.output[:probe.output.find(stop_seq)], (
+            chunk, spec)
