@@ -536,6 +536,12 @@ def convert(
                                 "tokenizer.model")
 
     if bpe_hf:
+        if vocab_only:
+            raise ValueError(
+                "--vocab-only is not supported for BPE-tokenizer (LLaMA-3 "
+                "family) checkpoints: a ggjt scored-piece vocab cannot "
+                "carry BPE merges, and GGUF vocab always travels with the "
+                "model file — convert the full checkpoint instead")
         if not stream_hf:
             raise ValueError(
                 "BPE-tokenizer HF checkpoints need safetensors files "
@@ -600,10 +606,16 @@ def convert(
 
 
 def convert_cli(args) -> int:
-    """CLI glue for `llamago-tpu convert --model <dir>`."""
+    """CLI glue for `llamago-tpu convert --model <dir> [--out path]
+    [--vocab-only]` (reference: scripts/convert-pth-to-ggml.py:77-82)."""
     if not args.model:
         print("error: convert needs --model <checkpoint dir>", file=sys.stderr)
         return 2
-    path = convert(args.model, ftype=0 if args.dtype == "float32" else 1)
+    path = convert(
+        args.model,
+        out_path=args.out or None,
+        ftype=0 if args.dtype == "float32" else 1,
+        vocab_only=getattr(args, "vocab_only", False),
+    )
     print(f"[CONVERT] wrote {path}")
     return 0

@@ -156,9 +156,13 @@ def read_ggjt(path: str, max_seq_len: int = 1024) -> GGJTCheckpoint:
         # file ne[0] is the fastest dim -> numpy shape is reversed(ne)
         tensors[name] = data.reshape(tuple(reversed(ne)))
 
-    missing = set(expected_tensor_names(n_layers)) - set(tensors)
-    if missing:
-        raise ValueError(f"{path}: missing tensors: {sorted(missing)[:5]}...")
+    # vocab-only files (convert --vocab-only, reference:
+    # convert-pth-to-ggml.py:243-252) legitimately carry zero tensors
+    if tensors:
+        missing = set(expected_tensor_names(n_layers)) - set(tensors)
+        if missing:
+            raise ValueError(
+                f"{path}: missing tensors: {sorted(missing)[:5]}...")
 
     # ftype -> weight storage (llama.cpp codes: 0 f32, 1 f16, 2 Q4_0,
     # 3 Q4_1, 7 Q8_0)
@@ -281,7 +285,20 @@ def write_header_and_vocab(f, config: ModelConfig, vocab: Vocab, ftype: int) -> 
             ftype,
         )
     )
-    for piece, score in vocab.tokens:
+    # The reader trusts the header's vocab_size to count entries, so the
+    # two must agree. GGUF inputs can carry embeddings padded past the
+    # tokenizer list (vocab_size from llama.vocab_size/emb rows): pad the
+    # vocab with unreachable scored pieces rather than emit a misparsing
+    # file. A vocab LONGER than the header is unrepresentable — fail.
+    tokens = list(vocab.tokens)
+    if len(tokens) > config.vocab_size:
+        raise ValueError(
+            f"vocab has {len(tokens)} pieces but header vocab_size is "
+            f"{config.vocab_size}; ggjt cannot represent the overflow"
+        )
+    tokens += [(f"<pad{i}>".encode(), -1e9)
+               for i in range(config.vocab_size - len(tokens))]
+    for piece, score in tokens:
         f.write(struct.pack("<i", len(piece)))
         f.write(piece)
         f.write(struct.pack("<f", score))

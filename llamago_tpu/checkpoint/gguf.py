@@ -214,6 +214,22 @@ def read_gguf(path: str, max_seq_len: int = 1024) -> GGJTCheckpoint:
                 "K-quant GGUFs need requantization, e.g. via llama.cpp)"
             )
 
+    n_layers_meta = int(meta["llama.block_count"])
+    if "output.weight" not in tensors and "tok_embeddings.weight" in tensors:
+        # tied embeddings: llama.cpp exports (e.g. LLaMA-3.2 1B/3B) omit
+        # output.weight and reuse the embedding table as the lm head.
+        # Both live [vocab, dim] in this layout, so a direct alias is the
+        # correct tie (the loader transposes matmul weights uniformly).
+        tensors["output.weight"] = tensors["tok_embeddings.weight"]
+    from llamago_tpu.checkpoint.ggjt import expected_tensor_names
+
+    missing_names = set(expected_tensor_names(n_layers_meta)) - set(tensors)
+    if missing_names:
+        raise ValueError(
+            f"{path}: missing tensors: {sorted(missing_names)[:5]}"
+            f"{'...' if len(missing_names) > 5 else ''}"
+        )
+
     tok_model = meta.get("tokenizer.ggml.model", b"llama")
     tok_model = tok_model.decode() if isinstance(tok_model, bytes) else tok_model
     if tok_model == "gpt2":

@@ -42,7 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("command", nargs="?", default=None,
                    help="optional subcommand: load | convert | quantize | perplexity")
     p.add_argument("--file", default="", help="text file for `perplexity`")
-    p.add_argument("--out", default="", help="output path for `quantize`")
+    p.add_argument("--out", default="", help="output path for `quantize`/`convert`")
+    p.add_argument("--vocab-only", action="store_true",
+                   help="`convert`: write only the scored vocab, no tensors "
+                        "(reference: scripts/convert-pth-to-ggml.py:77-82)")
     p.add_argument("--qkind", default="", choices=["", "q8_0", "q4_0", "q4_1"],
                    help="quantization kind for `quantize` (overrides --bits)")
     p.add_argument("--bits", type=int, default=8, choices=[4, 8],

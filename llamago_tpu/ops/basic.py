@@ -28,7 +28,10 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float = 1e-5) -> jnp.ndar
         return kernels.fused_rms_norm(x, weight, eps)
     xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
     rms = jnp.sqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
-    return ((xf / rms).astype(x.dtype)) * weight
+    # weight cast to the activation dtype: a dense-f32-weights model at
+    # bf16 compute must not promote the residual stream to f32 (the scan
+    # carry dtype is the compute dtype)
+    return ((xf / rms).astype(x.dtype)) * weight.astype(x.dtype)
 
 
 def apply_rope(

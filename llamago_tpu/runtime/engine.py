@@ -551,8 +551,7 @@ class Engine:
                 job.ttft_ms = (now - job.started) * 1000.0
             slot.history.append(tok)
             slot.remaining -= 1
-            job.output = _render_output(self.vocab, job)
-            stopped = self._stop_hit(job)
+            stopped = self._publish_output(job)
             done = (stopped or slot.remaining <= 0
                     or (job.gen.stop_at_eos and tok == self._eos))
             if done:
@@ -663,7 +662,7 @@ class Engine:
         # restore the pending-logits invariant: one forward of each slot's
         # last emitted token (mirrors _decode_chunked's final forward)
         toks_h = _host(toks)
-        counts_h = np.asarray(counts)
+        counts_h = _host(counts)
         last = np.zeros((self.n_slots, 1), np.int32)
         for i in range(self.n_slots):
             if active[i]:
@@ -695,8 +694,7 @@ class Engine:
             slot.pos = int(pos_out[i]) + 1
             if kept:
                 job.eval_ms.extend([dt_ms / len(kept)] * len(kept))
-            job.output = _render_output(self.vocab, job)
-            done = self._stop_hit(job) or slot.remaining <= 0 or (
+            done = self._publish_output(job) or slot.remaining <= 0 or (
                 job.gen.stop_at_eos and kept and kept[-1] == self._eos
             )
             if done:
@@ -788,8 +786,7 @@ class Engine:
             slot.remaining -= len(emitted)
             slot.pos += n_chunk + 1
             job.eval_ms.extend([dt_per_tok] * len(emitted))
-            job.output = _render_output(self.vocab, job)
-            done = self._stop_hit(job) or slot.remaining <= 0 or (
+            done = self._publish_output(job) or slot.remaining <= 0 or (
                 job.gen.stop_at_eos and emitted and emitted[-1] == self._eos
             )
             if done:
@@ -946,17 +943,25 @@ class Engine:
                 slot.job.finished = time.time()
                 slot.job = None
 
-    def _stop_hit(self, job) -> bool:
-        """Truncate job.output at the first stop-sequence occurrence
-        (OpenAI-style `stop`); True if one matched. Searching the whole
-        rendered output each time handles sequences spanning token (and
-        detokenization) boundaries for free."""
+    def _publish_output(self, job) -> bool:
+        """Render, stop-truncate, and publish job.output in ONE assignment;
+        True if a stop sequence matched. Searching the whole rendered
+        output each time handles sequences spanning token (and
+        detokenization) boundaries for free. Truncation happens on a local
+        BEFORE publishing: a concurrent SSE reader (/jobs/stream,
+        /v1/completions) snapshots job.output between engine steps, so an
+        intermediate un-truncated publish would leak text past the stop
+        sequence into streamed deltas."""
+        text = _render_output(self.vocab, job)
+        stopped = False
         for seq in job.gen.stop or ():
-            idx = job.output.find(seq)
+            idx = text.find(seq)
             if idx >= 0:
-                job.output = job.output[:idx]
-                return True
-        return False
+                text = text[:idx]
+                stopped = True
+                break
+        job.output = text
+        return stopped
 
     def expired_job_ids(self, now: float | None = None) -> list[str]:
         """Active jobs past their wall-clock deadline. Split from the

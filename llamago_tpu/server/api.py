@@ -149,10 +149,14 @@ class JobServer:
                 counts[j.status.value] = counts.get(j.status.value, 0) + 1
 
         def pct(vals: list[float], q: float) -> float:
+            """Linear-interpolated percentile (numpy 'linear' method)."""
             if not vals:
                 return 0.0
             vals = sorted(vals)
-            return vals[min(len(vals) - 1, int(q * len(vals)))]
+            idx = q * (len(vals) - 1)
+            lo = int(idx)
+            hi = min(lo + 1, len(vals) - 1)
+            return vals[lo] + (vals[hi] - vals[lo]) * (idx - lo)
 
         ttfts = [j.ttft_ms for j in done if j.ttft_ms > 0]
         tps = [j.tokens_per_second for j in done if j.output_tokens]

@@ -3,6 +3,7 @@ HF un-permutation, sp_model protobuf roundtrip — and an end-to-end logits
 parity check against HuggingFace transformers as an external oracle."""
 
 import json
+import os
 
 import numpy as np
 import pytest
@@ -353,3 +354,27 @@ def test_hf_streaming_convert_logits_parity(tmp_path):
     with torch.no_grad():
         theirs = hf_model(torch.from_numpy(ids.astype(np.int64))).logits.numpy()
     np.testing.assert_allclose(np.asarray(ours), theirs, rtol=0, atol=5e-3)
+
+
+def test_convert_cli_out_and_vocab_only(tmp_path):
+    """`convert --out` is honored and `--vocab-only` is reachable from the
+    CLI (reference: scripts/convert-pth-to-ggml.py:77-82,243-252)."""
+    import argparse
+
+    from llamago_tpu.checkpoint.convert import convert_cli
+
+    d, _ = _make_meta_checkpoint(tmp_path)
+    out = str(tmp_path / "custom-name.bin")
+    args = argparse.Namespace(model=str(d), out=out, dtype="float32",
+                              vocab_only=False)
+    assert convert_cli(args) == 0
+    assert os.path.exists(out)
+    read_ggjt(out)
+
+    vout = str(tmp_path / "vocab-only.bin")
+    args = argparse.Namespace(model=str(d), out=vout, dtype="float32",
+                              vocab_only=True)
+    assert convert_cli(args) == 0
+    ckpt = read_ggjt(vout)
+    assert ckpt.tensors == {}
+    assert len(ckpt.vocab) > 0

@@ -93,3 +93,27 @@ def test_host_parameters_layout(tiny_ckpt_path):
         params["layers"]["wq"][0], tensors["layers.0.attention.wq.weight"].T
     )
     np.testing.assert_array_equal(params["output"], tensors["output.weight"].T)
+
+
+def test_vocab_padded_to_header(tmp_path):
+    """A header vocab_size larger than the tokenizer list (padded-vocab
+    GGUF inputs) emits filler pieces so the file round-trips instead of
+    misparsing; a vocab LONGER than the header fails fast."""
+    import pytest
+
+    from llamago_tpu.config import MODEL_PRESETS
+
+    config = MODEL_PRESETS["tiny"].replace(dtype="float32",
+                                           weight_dtype="float32")
+    vocab = make_test_vocab()
+    config = config.replace(vocab_size=len(vocab) + 5)
+    tensors = random_ggjt_tensors(config)
+    path = str(tmp_path / "padded.bin")
+    write_ggjt(path, config, vocab, tensors)
+    ckpt = read_ggjt(path)
+    assert len(ckpt.vocab) == config.vocab_size
+    assert ckpt.vocab.tokens[-1][1] <= -1e8  # filler pieces unreachable
+
+    with pytest.raises(ValueError, match="cannot represent"):
+        write_ggjt(str(tmp_path / "overflow.bin"),
+                   config.replace(vocab_size=len(vocab) - 1), vocab, tensors)

@@ -134,3 +134,35 @@ def test_unknown_tokenizer_model_rejected(tmp_path):
                extra_meta={"tokenizer.ggml.model": (_T_STRING, b"wordpiece")})
     with pytest.raises(ValueError, match="wordpiece"):
         read_checkpoint(bad)
+
+
+def test_tied_embeddings_alias(tmp_path):
+    """A GGUF without output.weight (tied-embedding export, e.g.
+    LLaMA-3.2 1B/3B llama.cpp files) aliases the embedding table as the
+    lm head instead of KeyError-ing later in the loader."""
+    path, config, vocab, tensors = _fixture(tmp_path)
+    untied = {k: v for k, v in tensors.items() if k != "output.weight"}
+    tied_path = str(tmp_path / "tied.gguf")
+    write_gguf(tied_path, config, vocab, untied)
+    ckpt = read_checkpoint(tied_path, max_seq_len=64)
+    np.testing.assert_array_equal(
+        np.asarray(ckpt.tensors["output.weight"]),
+        np.asarray(ckpt.tensors["tok_embeddings.weight"]),
+    )
+    # and the full loader path works end-to-end
+    params = load_parameters(ckpt.config, ckpt.tensors)
+    assert params["output"].shape == params["tok_embeddings"].shape[::-1]
+
+
+def test_missing_tensor_rejected(tmp_path):
+    """A GGUF missing a required layer tensor fails at read time with a
+    message naming the tensor (read_ggjt parity)."""
+    import pytest
+
+    path, config, vocab, tensors = _fixture(tmp_path)
+    broken = {k: v for k, v in tensors.items()
+              if k != "layers.0.feed_forward.w2.weight"}
+    bad = str(tmp_path / "missing.gguf")
+    write_gguf(bad, config, vocab, broken)
+    with pytest.raises(ValueError, match="missing tensors"):
+        read_checkpoint(bad, max_seq_len=64)

@@ -212,3 +212,24 @@ def test_fused_weights_quantized(tiny_gqa_config):
     got, _ = forward_impl(fuse_layer_weights(params), tokens,
                           KVCache.create(config, batch=1, layered=True), wp, config)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_bf16_compute_with_dense_f32_weights():
+    """A dense float32-weight checkpoint at bfloat16 compute must not
+    promote the residual stream to f32 (rms_norm weight cast; the scan
+    carry dtype is the compute dtype). Regression: library users passing
+    read_ggjt's config (dtype=bf16 default, weight_dtype=f32 from ftype)
+    straight to Engine/forward hit a scan carry TypeError."""
+    from llamago_tpu.checkpoint.params import random_parameters
+    from llamago_tpu.config import MODEL_PRESETS
+    from llamago_tpu.models.llama import forward
+    from llamago_tpu.runtime.kv_cache import KVCache
+
+    config = MODEL_PRESETS["tiny"].replace(
+        dtype="bfloat16", weight_dtype="float32", max_seq_len=32)
+    params = random_parameters(config, seed=0)
+    params = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), params)
+    cache = KVCache.create(config, batch=1)
+    logits, _ = forward(params, jnp.ones((1, 4), jnp.int32), cache,
+                        jnp.zeros(1, jnp.int32), config)
+    assert logits.shape == (1, config.vocab_size)
