@@ -64,7 +64,34 @@ def _sync(arr):
     return np.asarray(arr.reshape(-1)[:1])
 
 
-def measure_hbm_gbps(jax, size_mb: int = 512, iters: tuple[int, int] = (8, 72)) -> float:
+# Spec-sheet HBM bandwidth per chip generation (public TPU datasheets).
+# The measured ceiling is sanity-clamped against this: the delta method
+# can over-read on a noisy transport (a r2 run recorded 1047 GB/s on a
+# 819 GB/s v5e — every roofline_pct derived from it was ~30% low).
+_TPU_SPEC_GBPS = (
+    ("v5 lite", 819.0),   # v5e
+    ("v5e", 819.0),
+    ("v5p", 2765.0),
+    ("v6 lite", 1640.0),  # v6e / Trillium
+    ("v6e", 1640.0),
+    ("v4", 1228.0),
+    ("v3", 900.0),
+)
+
+
+def _spec_gbps(jax) -> float | None:
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return None
+    for tag, gbps in _TPU_SPEC_GBPS:
+        if tag in kind:
+            return gbps
+    return None
+
+
+def measure_hbm_gbps(jax, size_mb: int = 512, iters: tuple[int, int] = (8, 72),
+                     pairs: int = 5, detail: dict | None = None) -> float:
     """Measured achievable HBM bandwidth, DELTA method: time a short and a
     long chain of scaled copies (each scan step reads + writes the buffer
     once: 2x traffic) and divide the traffic difference by the time
@@ -73,8 +100,15 @@ def measure_hbm_gbps(jax, size_mb: int = 512, iters: tuple[int, int] = (8, 72)) 
     timed dispatch under-reads by 2x+ at these sizes (a naive 16-chain
     measured ~290 GB/s where the delta method measures ~665 on v5e,
     81% of the 819 GB/s spec). This is the denominator of the roofline
-    claim."""
+    claim.
+
+    Stability (VERDICT r2 #2): the r2 max-of-2-one-shot estimator swung
+    675 -> 1047 GB/s run-to-run (and 1047 > the chip's 819 spec). Now the
+    MEDIAN of `pairs` delta measurements, sanity-clamped to the chip's
+    spec bandwidth; spread and clamping are reported via `detail` and a
+    stderr warning so a noisy run is visible in the artifact."""
     import jax.numpy as jnp
+    import numpy as np
 
     n = size_mb * 1024 * 1024 // 4
     x = jnp.zeros((n,), jnp.float32)
@@ -96,8 +130,9 @@ def measure_hbm_gbps(jax, size_mb: int = 512, iters: tuple[int, int] = (8, 72)) 
     _sync(y)
     y = long(y)
     _sync(y)  # compile + warm
-    best = 0.0
-    for _ in range(2):
+    traffic = 2.0 * n * 4 * (iters[1] - iters[0])
+    samples = []
+    for _ in range(pairs):
         t0 = time.time()
         y = short(y)
         _sync(y)
@@ -106,11 +141,38 @@ def measure_hbm_gbps(jax, size_mb: int = 512, iters: tuple[int, int] = (8, 72)) 
         _sync(y)
         t2 = time.time()
         dt = (t2 - t1) - (t1 - t0)
-        if dt <= 0:
-            continue
-        traffic = 2.0 * n * 4 * (iters[1] - iters[0])
-        best = max(best, traffic / dt / 1e9)
-    return best
+        if dt > 0:
+            samples.append(traffic / dt / 1e9)
+    if not samples:
+        return 0.0
+    med = float(np.median(samples))
+    spread = float((max(samples) - min(samples)) / med) if med else 0.0
+    spec = _spec_gbps(jax)
+    ceiling = med
+    clamped = False
+    if spec is not None and med > spec:
+        sys.stderr.write(
+            f"[bench-hbm] WARNING: measured {med:.0f} GB/s exceeds the "
+            f"chip spec {spec:.0f} GB/s — clamping the roofline ceiling "
+            "to spec (transport timing noise)\n"
+        )
+        ceiling = spec
+        clamped = True
+    if spread > 0.2:
+        sys.stderr.write(
+            f"[bench-hbm] WARNING: ceiling spread {100 * spread:.0f}% across "
+            f"{len(samples)} pairs (samples: "
+            f"{', '.join(f'{s:.0f}' for s in samples)} GB/s)\n"
+        )
+    if detail is not None:
+        detail.update({
+            "hbm_samples_gbps": [round(s, 1) for s in samples],
+            "hbm_median_gbps": round(med, 1),
+            "hbm_spread_pct": round(100 * spread, 1),
+            "hbm_spec_gbps": spec,
+            "hbm_clamped_to_spec": clamped,
+        })
+    return ceiling
 
 
 def _weight_stream_bytes(params) -> int:
@@ -186,7 +248,9 @@ def bench_decode() -> dict:
     batch = int(os.environ.get("BENCH_BATCH", "1"))  # decode slots (serving shape)
     prompt_len = 64 if on_tpu else 8
 
-    hbm_gbps = measure_hbm_gbps(jax, size_mb=512 if on_tpu else 64)
+    hbm_detail: dict = {}
+    hbm_gbps = measure_hbm_gbps(jax, size_mb=512 if on_tpu else 64,
+                                detail=hbm_detail)
 
     t0 = time.time()
     params = _make_params(config, weight_dtype)
@@ -299,6 +363,7 @@ def bench_decode() -> dict:
         "gbps": round(achieved_gbps, 1),
         "hbm_gbps": round(hbm_gbps, 1),
         "roofline_pct": round(roofline_pct, 1),
+        **hbm_detail,
     }
 
 
@@ -424,12 +489,14 @@ def bench_serve() -> dict:
 def bench_hbm() -> dict:
     jax = _setup_jax()
     on_tpu = jax.default_backend() == "tpu"
-    gbps = measure_hbm_gbps(jax, size_mb=512 if on_tpu else 64)
+    detail: dict = {}
+    gbps = measure_hbm_gbps(jax, size_mb=512 if on_tpu else 64, detail=detail)
     return {
         "metric": "hbm_copy_bandwidth",
         "value": round(gbps, 1),
         "unit": "GB/s",
         "vs_baseline": 0.0,
+        **detail,
     }
 
 
@@ -461,7 +528,9 @@ def bench_shard70b() -> dict:
     else:
         dim, q_out, kv_out, ffn, layers = 8192, 1024, 128, 3584, 80
 
-    hbm_gbps = measure_hbm_gbps(jax, size_mb=512 if on_tpu else 64)
+    hbm_detail: dict = {}
+    hbm_gbps = measure_hbm_gbps(jax, size_mb=512 if on_tpu else 64,
+                                detail=hbm_detail)
 
     if os.environ.get("BENCH_FUSE", "1") == "1":
         # per-SHARD projection fusion: a tp shard's local wq|wk|wv (and
@@ -566,6 +635,7 @@ def bench_shard70b() -> dict:
         "hbm_gbps": round(hbm_gbps, 1),
         "roofline_pct": round(pct, 1),
         "target": ">=90% of per-chip HBM roofline (BASELINE.md)",
+        **hbm_detail,
     }
 
 
