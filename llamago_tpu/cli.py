@@ -87,8 +87,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stop-at-eos", action="store_true",
                    help="stop at EOS (the reference never does; parity default off)")
     # --- TPU-native knobs (no reference equivalent)
-    p.add_argument("--dtype", default="bfloat16",
-                   choices=["bfloat16", "float32"], help="compute dtype")
+    p.add_argument("--dtype", default=None,
+                   choices=["bfloat16", "float32"],
+                   help="compute dtype [default: bfloat16 on TPU, "
+                        "float32 elsewhere]")
     p.add_argument("--weight-dtype", default=None,
                    choices=["bfloat16", "float32", "int8", "int4"],
                    help="weight storage [default: same as --dtype]")
@@ -214,6 +216,14 @@ def _load_engine(args):
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    if args.dtype is None:
+        # auto: bf16 is the MXU dtype on TPU; on CPU it is emulated
+        # (slower than f32) and XLA:CPU's thunk runtime cannot even
+        # execute the bf16xbf16->f32 dots the speculative-decode scan
+        # compiles to ("Unsupported element type for DotThunk"), so f32
+        # is both the faster and the only working CPU default. An
+        # explicit --dtype is honored either way.
+        args.dtype = "bfloat16" if jax.default_backend() == "tpu" else "float32"
     t0 = time.time()
     if not args.silent:
         log("info", f"loading model {args.model} ...")

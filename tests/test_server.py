@@ -201,6 +201,37 @@ def test_cli_accepts_all_reference_flags():
     assert args.model == "m.bin" and args.pods == 4 and args.avx
 
 
+def test_cli_dtype_auto_resolves_to_float32_on_cpu(tmp_path):
+    """--dtype defaults to auto: f32 off-TPU (XLA:CPU's thunk runtime
+    cannot execute the bf16xbf16->f32 dots the speculative scan compiles
+    to, and emulated bf16 is slower anyway), bf16 on TPU. Regression for
+    the spec-server crash: `--spec` serving on CPU died in warmup with
+    "Unsupported element type for DotThunk::Execute: BF16 x BF16 = F32"."""
+    import jax
+
+    from conftest import make_test_vocab, random_ggjt_tensors
+    from llamago_tpu.checkpoint import write_ggjt
+    from llamago_tpu.cli import _load_engine, build_parser
+    from llamago_tpu.config import MODEL_PRESETS
+
+    cfg = MODEL_PRESETS["tiny"]
+    vocab = make_test_vocab()
+    path = str(tmp_path / "tiny.bin")
+    write_ggjt(path, cfg, vocab, random_ggjt_tensors(cfg, len(vocab.tokens)))
+
+    args = build_parser().parse_args(["--model", path, "--spec"])
+    assert args.dtype is None  # auto until a backend is known
+    engine, _, config = _load_engine(args)
+    assert jax.default_backend() == "cpu"
+    assert config.dtype == "float32"
+    # the failing program: speculative warmup compiles + executes
+    engine.warmup()
+
+    # an explicit --dtype is honored even on CPU
+    args = build_parser().parse_args(["--model", path, "--dtype", "bfloat16"])
+    assert args.dtype == "bfloat16"
+
+
 def test_chat_mode_carries_history(tmp_path, monkeypatch, capsys):
     """--chat submits history + reply + new input each turn (prefix-cache
     friendly) and keeps running after a turn; empty input exits 0."""

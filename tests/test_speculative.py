@@ -170,6 +170,75 @@ def test_engine_speculative_skips_sampled_jobs(setup):
     assert a.output_tokens == b.output_tokens
 
 
+def test_spec_gate_yields_to_chunked_on_low_acceptance(setup):
+    """Adaptive gate (VERDICT r2 #6): when every active slot's acceptance
+    EMA is below the threshold, _spec_steps returns 0 (chunked decode
+    runs instead) except for periodic 1-step re-probes."""
+    import numpy as np
+
+    from llamago_tpu.config import GenerateConfig
+    from llamago_tpu.runtime.engine import Engine
+
+    from conftest import make_test_vocab
+
+    config, params = setup
+    vocab = make_test_vocab()
+    eng = Engine(config, params, vocab, slots=2, buckets=(16, 32, 64),
+                 speculative=True, draft_len=5, decode_chunk_size=4)
+    gen = GenerateConfig(max_tokens=64, ctx_size=128, temp=0.0)
+    for i in range(2):
+        eng.slots[i].job = __import__(
+            "llamago_tpu.runtime.engine", fromlist=["Job"]
+        ).Job(id=str(i), prompt="x", gen=gen)
+        eng.slots[i].history = [1, 2, 3]
+        eng.slots[i].pos = 3
+        eng.slots[i].remaining = 64
+    active = np.array([True, True])
+    temp = np.zeros(2, np.float32)
+
+    # healthy acceptance -> full rung
+    eng.spec_accept_ema[:] = 3.0
+    assert eng._spec_steps(active, temp) == 4
+
+    # collapsed acceptance -> gated off, with a 1-step probe first
+    # (countdown starts at 0) and then spec_probe_interval gated steps
+    eng.spec_accept_ema[:] = 0.2
+    assert eng._spec_steps(active, temp) == 1  # probe
+    for _ in range(eng.spec_probe_interval):
+        assert eng._spec_steps(active, temp) == 0
+    assert eng._spec_steps(active, temp) == 1  # next probe
+
+    # ONE slot recovering is enough to re-engage (it drags the batch,
+    # but speculation is batch-wide and lossless)
+    eng.spec_accept_ema[0] = 3.0
+    assert eng._spec_steps(active, temp) == 4
+
+
+def test_spec_gate_ema_updates_and_resets_on_admit(setup):
+    """_decode_speculative must feed the EMA; _admit must reset it to the
+    optimistic prior so a new request gets speculation re-tried."""
+    from llamago_tpu.config import GenerateConfig
+    from llamago_tpu.runtime.engine import Engine, JobStatus
+
+    from conftest import make_test_vocab
+
+    config, params = setup
+    vocab = make_test_vocab()
+    eng = Engine(config, params, vocab, slots=1, buckets=(16, 32, 64),
+                 speculative=True, draft_len=5, decode_chunk_size=4)
+    assert eng.spec_accept_ema[0] == 5.0  # optimistic prior = draft_len
+    gen = GenerateConfig(max_tokens=24, ctx_size=128, temp=0.0)
+    eng.generate("hello world", gen)
+    moved = eng.spec_accept_ema[0]
+    assert moved != 5.0  # at least one speculative chunk updated it
+
+    # a fresh admission resets the prior even after the gate closed
+    eng.spec_accept_ema[0] = 0.0
+    eng.generate("something else entirely", gen)
+    # ran again (reset to 5.0 at admit, then updated by decode)
+    assert eng.spec_accept_ema[0] != 0.0
+
+
 def test_engine_speculative_with_context_swap(setup):
     """Long generation through a small context: speculative engine must
     survive swaps and still match the plain engine exactly."""
