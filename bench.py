@@ -486,6 +486,142 @@ def bench_serve() -> dict:
     }
 
 
+def bench_soak() -> dict:
+    """Sustained-load serving soak (VERDICT r2 #7): jobs arrive as a
+    Poisson process for BENCH_SOAK_SECONDS with more offered load than
+    the slot pool can absorb, so the queue stays occupied. Records
+    steady-state tok/s (measured AFTER a lead-in, so warm programs only),
+    TTFT and queue-wait percentiles incl. p99, and the prefix-reuse hit
+    rate (prompts draw from a small template pool; repeats on the same
+    slot reuse cached KV). The reference's pods model exposes no queue
+    metrics at all (server.go:248-274)."""
+    jax = _setup_jax()
+    import urllib.request
+    import uuid as uuid_mod
+
+    import numpy as np
+
+    from llamago_tpu.config import GenerateConfig, ServerConfig
+    from llamago_tpu.runtime.engine import Engine
+    from llamago_tpu.server.api import JobServer
+
+    config, model_name, weight_dtype, ctx, on_tpu = _make_config(jax)
+    slots = int(os.environ.get("BENCH_PODS", "4" if on_tpu else "2"))
+    predict = int(os.environ.get("BENCH_TOKENS", "96" if on_tpu else "8"))
+    prompt_tokens = int(os.environ.get("BENCH_PROMPT_TOKENS",
+                                       "48" if on_tpu else "8"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "32" if on_tpu else "4"))
+    soak_s = float(os.environ.get("BENCH_SOAK_SECONDS",
+                                  "300" if on_tpu else "12"))
+    lead_s = float(os.environ.get("BENCH_SOAK_LEAD", "30" if on_tpu else "3"))
+    # mean inter-arrival; default oversubscribes ~4 decode slots at 7B
+    arrival_s = float(os.environ.get("BENCH_SOAK_ARRIVAL_MS",
+                                     "400" if on_tpu else "1500")) / 1e3
+    templates = int(os.environ.get("BENCH_SOAK_TEMPLATES", "6"))
+
+    t0 = time.time()
+    params = _make_params(config, weight_dtype)
+    _sync(jax.tree.leaves(params)[0])
+    init_s = time.time() - t0
+
+    vocab = _byte_vocab(config.vocab_size)
+    engine = Engine(config, params, vocab, slots=slots,
+                    decode_chunk_size=chunk, prefill_chunk=256)
+    gen = GenerateConfig(max_tokens=predict, ctx_size=ctx, temp=0.8, seed=11)
+    warm_s = engine.warmup(max_bucket=engine._bucket(prompt_tokens + 2))
+    sys.stderr.write(f"[bench-soak] init={init_s:.1f}s warmup={warm_s:.1f}s\n")
+
+    server = JobServer(engine, ServerConfig(host="localhost", port=0), gen,
+                       model_name=f"{model_name}-{weight_dtype}")
+    server.start_background()
+    port = server.port
+
+    def post(path, body):
+        req = urllib.request.Request(
+            f"http://localhost:{port}{path}", data=json.dumps(body).encode()
+        )
+        return json.loads(urllib.request.urlopen(req).read())
+
+    def get(path):
+        return json.loads(
+            urllib.request.urlopen(f"http://localhost:{port}{path}").read()
+        )
+
+    # template pool: shared prefix per template, unique tail per job —
+    # same-template jobs landing on a slot that last served that template
+    # hit the per-slot KV prefix cache; the unique tail keeps decode honest
+    base = [
+        (f"template {t}: " + "abcdefgh" * 40)[: max(prompt_tokens - 12, 4)]
+        for t in range(templates)
+    ]
+    rng = np.random.default_rng(7)
+    ids: list[str] = []
+    prompt_tok_total = 0
+    t_start = time.time()
+    t_mark = None
+    toks_mark = 0
+    submitted_after_lead = 0
+    i = 0
+    while time.time() - t_start < soak_s:
+        t = int(rng.integers(0, templates))
+        jid = str(uuid_mod.uuid4())
+        prompt = base[t] + f" job{i:04d}"
+        post("/jobs/", {"id": jid, "prompt": prompt})
+        ids.append(jid)
+        prompt_tok_total += len(prompt)  # byte-LM: 1 token per byte
+        i += 1
+        now = time.time()
+        if t_mark is None and now - t_start >= lead_s:
+            t_mark = now
+            toks_mark = get("/metrics")["generated_tokens"]
+        if t_mark is not None:
+            submitted_after_lead += 1
+        time.sleep(float(rng.exponential(arrival_s)))
+    # drain: stop submitting, let the queue finish
+    deadline = time.time() + float(os.environ.get("BENCH_SERVE_TIMEOUT", "1800"))
+    while time.time() < deadline:
+        st = get("/health")["jobs"]  # status -> count over all jobs
+        if not (st.get("queued", 0) or st.get("processing", 0)):
+            break
+        time.sleep(0.5)
+    t_end = time.time()
+    metrics = get("/metrics")
+    server.shutdown()
+
+    done = metrics["jobs"].get("finished", 0)
+    failed = metrics["jobs"].get("failed", 0)
+    total_tokens = metrics["generated_tokens"]
+    if t_mark is None:  # soak shorter than lead-in; fall back to full window
+        t_mark, toks_mark = t_start, 0
+    steady_tps = (total_tokens - toks_mark) / (t_end - t_mark)
+    reuse_rate = metrics["reused_prompt_tokens"] / max(prompt_tok_total, 1)
+    sys.stderr.write(
+        f"[bench-soak] backend={jax.default_backend()} model={model_name} "
+        f"weights={weight_dtype} slots={slots} jobs={len(ids)} "
+        f"({done} done, {failed} failed) over {t_end - t_start:.0f}s | "
+        f"steady {steady_tps:.1f} tok/s | "
+        f"ttft p50={metrics['ttft_ms']['p50']} p99={metrics['ttft_ms']['p99']}ms "
+        f"| queue p50={metrics['queue_wait_ms']['p50']} "
+        f"p99={metrics['queue_wait_ms']['p99']}ms | "
+        f"prefix-reuse {reuse_rate:.1%}\n"
+    )
+    return {
+        "metric": f"serve_soak_{model_name}_{weight_dtype}_slots{slots}",
+        "value": round(steady_tps, 2),
+        "unit": "tokens/s (steady-state)",
+        "vs_baseline": round(steady_tps / REFERENCE_7B_FP32_CPU_TOKS, 2),
+        "soak_seconds": round(t_end - t_start, 1),
+        "jobs_submitted": len(ids),
+        "jobs_finished": done,
+        "jobs_failed": failed,
+        "mean_arrival_ms": arrival_s * 1e3,
+        "ttft_ms": metrics["ttft_ms"],
+        "queue_wait_ms": metrics["queue_wait_ms"],
+        "prefix_reuse_rate": round(reuse_rate, 4),
+        "prompt_templates": templates,
+    }
+
+
 def bench_hbm() -> dict:
     jax = _setup_jax()
     on_tpu = jax.default_backend() == "tpu"
@@ -684,7 +820,7 @@ def bench_matrix() -> dict:
 def main() -> None:
     mode = os.environ.get("BENCH_MODE", "decode")
     fn = {"decode": bench_decode, "serve": bench_serve,
-          "hbm": bench_hbm, "matrix": bench_matrix,
+          "soak": bench_soak, "hbm": bench_hbm, "matrix": bench_matrix,
           "shard70b": bench_shard70b}[mode]
     print(json.dumps(fn()))
 

@@ -160,12 +160,21 @@ class JobServer:
 
         ttfts = [j.ttft_ms for j in done if j.ttft_ms > 0]
         tps = [j.tokens_per_second for j in done if j.output_tokens]
+        # queue wait = submission -> admission; ttft_ms above starts at
+        # admission, so under saturation the user-visible latency is
+        # queue_wait + ttft (soak benches report both)
+        waits = [(j.started - j.created) * 1000.0 for j in done if j.started]
         return 200, {
             "jobs": counts,
             "slots": self.engine.n_slots,
             "generated_tokens": sum(len(j.output_tokens) for j in done),
+            "reused_prompt_tokens": sum(j.reused_tokens for j in done),
             "ttft_ms": {"p50": round(pct(ttfts, 0.5), 1),
-                        "p95": round(pct(ttfts, 0.95), 1)},
+                        "p95": round(pct(ttfts, 0.95), 1),
+                        "p99": round(pct(ttfts, 0.99), 1)},
+            "queue_wait_ms": {"p50": round(pct(waits, 0.5), 1),
+                              "p95": round(pct(waits, 0.95), 1),
+                              "p99": round(pct(waits, 0.99), 1)},
             "tokens_per_second": {"p50": round(pct(tps, 0.5), 2),
                                   "p95": round(pct(tps, 0.95), 2)},
         }

@@ -164,6 +164,10 @@ def test_metrics(server):
     assert body["generated_tokens"] > 0
     assert body["ttft_ms"]["p50"] > 0
     assert body["tokens_per_second"]["p50"] > 0
+    # soak-bench surface: p99 + queue wait + prefix reuse (VERDICT r2 #7)
+    assert body["ttft_ms"]["p99"] >= body["ttft_ms"]["p50"]
+    assert body["queue_wait_ms"]["p99"] >= 0
+    assert body["reused_prompt_tokens"] >= 0
 
 
 def test_stop_at_eos_override(server):
