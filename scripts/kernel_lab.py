@@ -73,8 +73,11 @@ def kern_fma(x_ref, q_ref, s_ref, o_ref, *, tk, tn):
 
 def kern_bitcast(x_ref, q_ref, s_ref, o_ref, *, tk, tn):
     """Mantissa-OR trick: 0x4B000000 | nib bitcasts to 8388608+nib, so
-    f32 conversion becomes an integer OR; offset (8388608+8) folds into
-    the per-block FMA bias."""
+    f32 conversion becomes an integer OR. The magic constant MUST be
+    subtracted BEFORE scaling: integers below 2^24 subtract exactly in
+    f32, while folding it into an FMA bias ((8388608+nib)*s - bias)
+    cancels two ~8.4e6*s products and loses ~s absolute error — 7.6%
+    rel-err, measured. So: OR, bitcast (free), exact sub, mul."""
     ki = pl.program_id(1)
 
     @pl.when(ki == 0)
@@ -83,13 +86,14 @@ def kern_bitcast(x_ref, q_ref, s_ref, o_ref, *, tk, tn):
 
     blocks = tk // QK
     s = s_ref[:].astype(jnp.float32)
-    bias = (-(8388608.0 + 8.0)) * s
     p = q_ref[:].astype(jnp.int32).reshape(blocks, QK // 2, tn)
     magic = jnp.int32(0x4B000000)
-    lo = jax.lax.bitcast_convert_type((p & 0xF) | magic, jnp.float32)
-    hi = jax.lax.bitcast_convert_type(((p >> 4) & 0xF) | magic, jnp.float32)
-    nib = jnp.concatenate([lo, hi], axis=1)     # 8388608 + nib
-    w = (nib * s[:, None, :] + bias[:, None, :]).reshape(tk, tn)
+    off = jnp.float32(8388608.0 + 8.0)
+    lo = jax.lax.bitcast_convert_type((p & 0xF) | magic, jnp.float32) - off
+    hi = jax.lax.bitcast_convert_type(((p >> 4) & 0xF) | magic,
+                                      jnp.float32) - off
+    nib = jnp.concatenate([lo, hi], axis=1)     # exact nib - 8
+    w = (nib * s[:, None, :]).reshape(tk, tn)
     o_ref[:] += jnp.dot(x_ref[:].astype(jnp.float32), w,
                         preferred_element_type=jnp.float32)
 
@@ -182,15 +186,216 @@ def kern_dma_only(x_ref, q_ref, s_ref, o_ref, *, tk, tn):
                  + 0.0 * s_ref[0:1, :] + 0.0 * jnp.sum(x_ref[:]))
 
 
+def kern_split(x_ref, q_ref, s_ref, o_ref, *, tk, tn, tm):
+    """No-concat variant: the lo/hi nibble planes are each CONTIGUOUS in
+    the packed layout ([blocks,16,tn] rows), so instead of concatenating
+    them into one [tk,tn] weight tile (a full-width data-movement pass),
+    run TWO accumulating dots against the matching x halves. x is tiny
+    (tm x tk) so its gather is ~free; the weight-side concat pass
+    disappears."""
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    blocks = tk // QK
+    half = QK // 2
+    s = s_ref[:].astype(jnp.float32)            # [blocks, tn]
+    b = -8.0 * s
+    p = q_ref[:].astype(jnp.int32).reshape(blocks, half, tn)
+    w_lo = ((p & 0xF).astype(jnp.float32) * s[:, None, :]
+            + b[:, None, :]).reshape(blocks * half, tn)
+    w_hi = (((p >> 4) & 0xF).astype(jnp.float32) * s[:, None, :]
+            + b[:, None, :]).reshape(blocks * half, tn)
+    x = x_ref[:].astype(jnp.float32).reshape(tm, blocks, QK)
+    x_lo = x[:, :, :half].reshape(tm, blocks * half)
+    x_hi = x[:, :, half:].reshape(tm, blocks * half)
+    o_ref[:] += (jnp.dot(x_lo, w_lo, preferred_element_type=jnp.float32)
+                 + jnp.dot(x_hi, w_hi, preferred_element_type=jnp.float32))
+
+
+def kern_split_bitcast(x_ref, q_ref, s_ref, o_ref, *, tk, tn, tm):
+    """split + mantissa-OR: per nibble the decode chain is one mask, one
+    OR, one bitcast (free), one FMA — no convert instruction, no concat
+    pass. Candidate minimum VPU work without changing the file format."""
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    blocks = tk // QK
+    half = QK // 2
+    s = s_ref[:].astype(jnp.float32)
+    p = q_ref[:].astype(jnp.int32).reshape(blocks, half, tn)
+    magic = jnp.int32(0x4B000000)
+    off = jnp.float32(8388608.0 + 8.0)  # exact sub BEFORE scaling (see kern_bitcast)
+    f_lo = jax.lax.bitcast_convert_type((p & 0xF) | magic, jnp.float32) - off
+    f_hi = jax.lax.bitcast_convert_type(((p >> 4) & 0xF) | magic,
+                                        jnp.float32) - off
+    w_lo = (f_lo * s[:, None, :]).reshape(blocks * half, tn)
+    w_hi = (f_hi * s[:, None, :]).reshape(blocks * half, tn)
+    x = x_ref[:].astype(jnp.float32).reshape(tm, blocks, QK)
+    x_lo = x[:, :, :half].reshape(tm, blocks * half)
+    x_hi = x[:, :, half:].reshape(tm, blocks * half)
+    o_ref[:] += (jnp.dot(x_lo, w_lo, preferred_element_type=jnp.float32)
+                 + jnp.dot(x_hi, w_hi, preferred_element_type=jnp.float32))
+
+
+def kern_decode_bitcast(x_ref, q_ref, s_ref, o_ref, *, tk, tn):
+    """Pure-decode ceiling of the bitcast chain (no matmul, no concat) —
+    if THIS is ~DMA rate, the remaining gap is MXU/layout, not decode."""
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    blocks = tk // QK
+    half = QK // 2
+    s = s_ref[:].astype(jnp.float32)
+    bias = (-(8388608.0 + 8.0)) * s
+    p = q_ref[:].astype(jnp.int32).reshape(blocks, half, tn)
+    magic = jnp.int32(0x4B000000)
+    f_lo = jax.lax.bitcast_convert_type((p & 0xF) | magic, jnp.float32)
+    f_hi = jax.lax.bitcast_convert_type(((p >> 4) & 0xF) | magic, jnp.float32)
+    w = (f_lo * s[:, None, :] + bias[:, None, :]
+         + f_hi * s[:, None, :] + bias[:, None, :])
+    o_ref[:] += (jnp.sum(w, axis=(0, 1))[None, :]
+                 + 0.0 * jnp.sum(x_ref[:], axis=1, keepdims=True).T[:1])
+
+
+def kern_w4a8(x_ref, q_ref, s_ref, o_ref, *, tk, tn, tm):
+    """True integer MXU dots (VERDICT r3 attack (a)): quantize x per
+    (row, 32-block) to int8 IN-KERNEL (tiny: tm*tk elements), unpack
+    weights to centered int8, then batched int8 x int8 dot_general with
+    int32 accumulation — per-block scales fold on the OUTPUT
+    ([blocks,tm,tn] * sx * s, ~3*tm/QK VPU ops/elem). Removes the f32
+    widen+scale passes from the weight chain entirely; tests whether
+    Mosaic lowers int8 MXU dots at these shapes."""
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    blocks = tk // QK
+    half = QK // 2
+    s = s_ref[:].astype(jnp.float32)                    # [blocks, tn]
+    p = q_ref[:].astype(jnp.int32).reshape(blocks, half, tn)
+    lo = ((p & 0xF) - 8).astype(jnp.int8)
+    hi = (((p >> 4) & 0xF) - 8).astype(jnp.int8)
+    w = jnp.concatenate([lo, hi], axis=1)               # [blocks, QK, tn] int8
+    x = x_ref[:].astype(jnp.float32).reshape(tm, blocks, QK)
+    amax = jnp.max(jnp.abs(x), axis=2)                  # [tm, blocks]
+    sx = jnp.where(amax > 0, amax / 127.0, 1.0)
+    xq = jnp.clip(jnp.round(x / sx[:, :, None]), -127, 127).astype(jnp.int8)
+    xb = xq.transpose(1, 0, 2)                          # [blocks, tm, QK]
+    acc = jax.lax.dot_general(xb, w, (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.int32)
+    out = jnp.sum(acc.astype(jnp.float32)
+                  * sx.T[:, :, None] * s[:, None, :], axis=0)
+    o_ref[:] += out
+
+
+def kern_w4a8_raw(x_ref, q_ref, s_ref, o_ref, *, tk, tn, tm):
+    """w4a8 with the minimum weight chain: RAW nibbles (0..15, no -8 sub,
+    no concat — split lo/hi planes feed separate batched dots) and the
+    -8 offset corrected on the output via per-block x sums:
+    dot(xq, nib) - 8*sum(xq). Weight-side VPU work is just the masks."""
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    blocks = tk // QK
+    half = QK // 2
+    s = s_ref[:].astype(jnp.float32)
+    p = q_ref[:].astype(jnp.int32).reshape(blocks, half, tn)
+    nib_lo = (p & 0xF).astype(jnp.int8)                 # [blocks, half, tn]
+    nib_hi = ((p >> 4) & 0xF).astype(jnp.int8)
+    x = x_ref[:].astype(jnp.float32).reshape(tm, blocks, QK)
+    amax = jnp.max(jnp.abs(x), axis=2)
+    sx = jnp.where(amax > 0, amax / 127.0, 1.0)
+    xq = jnp.clip(jnp.round(x / sx[:, :, None]), -127, 127).astype(jnp.int8)
+    xb = xq.transpose(1, 0, 2)                          # [blocks, tm, QK]
+    x_lo, x_hi = xb[:, :, :half], xb[:, :, half:]
+    acc = (jax.lax.dot_general(x_lo, nib_lo, (((2,), (1,)), ((0,), (0,))),
+                               preferred_element_type=jnp.int32)
+           + jax.lax.dot_general(x_hi, nib_hi, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.int32))
+    xsum = jnp.sum(xb.astype(jnp.int32), axis=2)        # [blocks, tm]
+    acc = acc - 8 * xsum[:, :, None]
+    out = jnp.sum(acc.astype(jnp.float32)
+                  * sx.T[:, :, None] * s[:, None, :], axis=0)
+    o_ref[:] += out
+
+
+def kern_i4native(x_ref, q_ref, s_ref, o_ref, *, tk, tn):
+    """Weights stored as a native jnp.int4 array [k, n] (load-time
+    transform; file format unchanged; XLA S4 packs 2/byte in HBM). The
+    decode chain collapses to ONE hardware convert + one FMA — no mask,
+    no shift, no concat. If Mosaic's int4 load/convert runs at rate,
+    this is the minimum-VPU-work decode without MXU int dots."""
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    blocks = tk // QK
+    s = s_ref[:].astype(jnp.float32)
+    w = (q_ref[:].astype(jnp.float32).reshape(blocks, QK, tn)
+         * s[:, None, :]).reshape(tk, tn)
+    o_ref[:] += jnp.dot(x_ref[:].astype(jnp.float32), w,
+                        preferred_element_type=jnp.float32)
+
+
+def jnp_xla_i4(x, lw, back):
+    """XLA-only baseline: int4-dtype weights dequantized in jnp, no
+    Pallas — measures what the compiler alone does with S4 weights."""
+    q, s = lw["q4"], lw["s"]
+    k, n = q.shape
+    w = (q.astype(jnp.float32).reshape(k // QK, QK, n)
+         * s.astype(jnp.float32)[:, None, :]).reshape(k, n)
+    o = jnp.dot(x.astype(jnp.float32), w, preferred_element_type=jnp.float32)
+    return jnp.tanh(o.astype(jnp.bfloat16) @ back) * 0.5
+
+
 VARIANTS = {
     "base": (kern_base, {}),
     "fma": (kern_fma, {}),
     "bitcast": (kern_bitcast, {}),
+    "split": (kern_split, {"needs_tm": True}),
+    "split_bitcast": (kern_split_bitcast, {"needs_tm": True}),
     "int8dot": (kern_int8dot, {"needs_tm": True}),
+    "w4a8": (kern_w4a8, {"needs_tm": True}),
+    "w4a8_raw": (kern_w4a8_raw, {"needs_tm": True}),
+    "i4native": (kern_i4native, {"fmt": "i4"}),
+    "xla_i4": (None, {"fmt": "i4", "jnp": jnp_xla_i4}),
     "bf16dot": (kern_bf16dot, {}),
     "decode_only": (kern_decode_only, {}),
+    "decode_bitcast": (kern_decode_bitcast, {}),
     "dma_only": (kern_dma_only, {}),
 }
+
+
+def to_i4(qw: dict) -> dict:
+    """Repack a Q4_0 leaf {q4 packed [k/2,n], s} into a native jnp.int4
+    centered-value array [k, n] (same key names so harness code reads
+    uniformly)."""
+    from llamago_tpu.ops import quant
+
+    vals = quant.unpack_q4(qw["q4"])  # int8 [k, n], values -8..7
+    return {"q4": vals.astype(jnp.int4), "s": qw["s"]}
+
+
+def _leaf_bytes(leaf) -> float:
+    if leaf.dtype == jnp.int4:
+        return leaf.size * 0.5  # XLA S4 packs two per byte in HBM
+    return leaf.size * leaf.dtype.itemsize
 
 
 def run_variant(name, kern, opts, k=8192, n=7168, m=8, layers=24, steps=8,
@@ -205,33 +410,37 @@ def run_variant(name, kern, opts, k=8192, n=7168, m=8, layers=24, steps=8,
     for i in range(layers):
         key, sub = jax.random.split(key)
         w = jax.random.normal(sub, (k, n), jnp.bfloat16) * 0.02
-        ws.append(quant.quantize(w, 4))
+        qw = quant.quantize(w, 4)
+        ws.append(to_i4(qw) if opts.get("fmt") == "i4" else qw)
     stacked = {p: jnp.stack([w[p] for w in ws]) for p in ws[0]}
-    _sync(stacked["q4"])
-    weight_bytes = sum(l.size * l.dtype.itemsize for l in jax.tree.leaves(stacked))
+    _sync(stacked["s"])
+    weight_bytes = sum(_leaf_bytes(l) for l in jax.tree.leaves(stacked))
 
     tm = max(8, m)
     kw = dict(tk=tk, tn=tn)
     if opts.get("needs_tm"):
         kw["tm"] = tm
     grid = (n // tn, k // tk)
-    call = pl.pallas_call(
-        functools.partial(kern, **kw),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tm, tk), lambda ni, ki: (0, ki), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk // 2, tn), lambda ni, ki: (ki, ni), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk // QK, tn), lambda ni, ki: (ki, ni), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tm, tn), lambda ni, ki: (0, ni), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((tm, n), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * tm * k * n,
-            bytes_accessed=k * n // 2 + tm * k * 2 + tm * n * 4,
-            transcendentals=0,
-        ),
-        interpret=jax.default_backend() != "tpu",
-    )
+    q_rows = tk if opts.get("fmt") == "i4" else tk // 2
+    call = None
+    if kern is not None:
+        call = pl.pallas_call(
+            functools.partial(kern, **kw),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tm, tk), lambda ni, ki: (0, ki), memory_space=pltpu.VMEM),
+                pl.BlockSpec((q_rows, tn), lambda ni, ki: (ki, ni), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tk // QK, tn), lambda ni, ki: (ki, ni), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tm, tn), lambda ni, ki: (0, ni), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((tm, n), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * tm * k * n,
+                bytes_accessed=k * n // 2 + tm * k * 2 + tm * n * 4,
+                transcendentals=0,
+            ),
+            interpret=jax.default_backend() != "tpu",
+        )
 
     # back-projection weight so outputs chain [m, n] -> [m, k]
     key, sub = jax.random.split(key)
@@ -241,6 +450,8 @@ def run_variant(name, kern, opts, k=8192, n=7168, m=8, layers=24, steps=8,
     def sweep(stacked, x):
         def outer(x, _):
             def layer(x, lw):
+                if call is None:
+                    return opts["jnp"](x, lw, back), None
                 o = call(x, lw["q4"], lw["s"])  # [tm, n]
                 x = jnp.tanh(o.astype(jnp.bfloat16) @ back) * 0.5
                 return x, None
@@ -275,25 +486,39 @@ def correctness(name, kern, opts, k=512, n=512, m=8):
     ref = x.astype(jnp.float32) @ quant.dequantize(qw, jnp.float32)
     tk, tn = 256, 256
     tm = 8
-    kw = dict(tk=tk, tn=tn)
-    if opts.get("needs_tm"):
-        kw["tm"] = tm
-    out = pl.pallas_call(
-        functools.partial(kern, **kw),
-        grid=(n // tn, k // tk),
-        in_specs=[
-            pl.BlockSpec((tm, tk), lambda ni, ki: (0, ki), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk // 2, tn), lambda ni, ki: (ki, ni), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk // QK, tn), lambda ni, ki: (ki, ni), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tm, tn), lambda ni, ki: (0, ni), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((tm, n), jnp.float32),
-        interpret=jax.default_backend() != "tpu",
-    )(x, qw["q4"], qw["s"])
+    if opts.get("fmt") == "i4":
+        qw = to_i4(qw)
+    if opts.get("jnp"):
+        # check only the dequant-dot core (the lab's jnp fn appends the
+        # chaining tanh, which saturates at correctness scales)
+        w = (qw["q4"].astype(jnp.float32).reshape(k // QK, QK, n)
+             * qw["s"].astype(jnp.float32)[:, None, :]).reshape(k, n)
+        out = x.astype(jnp.float32) @ w
+        tol = 2e-2
+    else:
+        kw = dict(tk=tk, tn=tn)
+        if opts.get("needs_tm"):
+            kw["tm"] = tm
+        q_rows = tk if opts.get("fmt") == "i4" else tk // 2
+        out = pl.pallas_call(
+            functools.partial(kern, **kw),
+            grid=(n // tn, k // tk),
+            in_specs=[
+                pl.BlockSpec((tm, tk), lambda ni, ki: (0, ki), memory_space=pltpu.VMEM),
+                pl.BlockSpec((q_rows, tn), lambda ni, ki: (ki, ni), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tk // QK, tn), lambda ni, ki: (ki, ni), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tm, tn), lambda ni, ki: (0, ni), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((tm, n), jnp.float32),
+            interpret=jax.default_backend() != "tpu",
+        )(x, qw["q4"], qw["s"])
+        # w4a8 variants quantize activations too: widen the tolerance to
+        # the a8 quantization error bound
+        tol = 5e-2 if "w4a8" in name else 2e-2
     err = float(jnp.max(jnp.abs(out - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9))
-    status = "OK" if err < 2e-2 else "FAIL"
+    status = "OK" if err < tol else "FAIL"
     print(f"{name:>14s}  correctness rel-err {err:.2e} {status}")
-    assert err < 2e-2, name
+    assert err < tol, name
 
 
 if __name__ == "__main__":
