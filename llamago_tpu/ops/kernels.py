@@ -82,7 +82,11 @@ def _plan_tiles(m: int, k: int, n: int, bits: int) -> tuple[int, int] | None:
     if tk is None:
         return None
     tm = max(8, m)
-    for tn in (2048, 1024, 512, 256, 128):
+    # 1280/640 are lane-aligned (128) non-power-of-2 rungs: a 32000-wide
+    # lm head is not divisible by any power of two above 256, and tn=256
+    # reads only 256 contiguous bytes per weight row (~440 GB/s measured
+    # vs ~600 at tn>=512 on v5e) — 1280 divides 32000 and 5x's the burst.
+    for tn in (2048, 1280, 1024, 640, 512, 256, 128):
         if n % tn:
             continue
         q_bytes = tk * tn if bits == 8 else tk * tn // 2

@@ -522,11 +522,26 @@ def correctness(name, kern, opts, k=512, n=512, m=8):
 
 
 if __name__ == "__main__":
+    import os
+
     names = sys.argv[1:] or list(VARIANTS)
+    # shape overrides for tile-sensitivity sweeps (e.g. the w13 22016-wide
+    # or lm-head 32000-wide production shapes): LAB_K/LAB_N/LAB_TK/LAB_TN/
+    # LAB_M/LAB_LAYERS
+    shape = dict(
+        k=int(os.environ.get("LAB_K", 8192)),
+        n=int(os.environ.get("LAB_N", 7168)),
+        m=int(os.environ.get("LAB_M", 8)),
+        layers=int(os.environ.get("LAB_LAYERS", 24)),
+    )
+    if os.environ.get("LAB_TK"):
+        shape["tk"] = int(os.environ["LAB_TK"])
+    if os.environ.get("LAB_TN"):
+        shape["tn"] = int(os.environ["LAB_TN"])
     print(f"backend={jax.default_backend()} dev={jax.devices()[0].device_kind}")
     for nm in names:
         kern, opts = VARIANTS[nm]
         correctness(nm, kern, opts)
     for nm in names:
         kern, opts = VARIANTS[nm]
-        run_variant(nm, kern, opts)
+        run_variant(nm, kern, opts, **shape)

@@ -146,3 +146,22 @@ def test_quantized_params_end_to_end_decode(tiny_config):
     g = np.asarray(got[0])
     assert np.corrcoef(r, g)[0, 1] > 0.999
     assert np.argmax(r) == np.argmax(g)
+
+
+def test_plan_tiles_lane_aligned_non_pow2():
+    """32000-wide lm head tiles at tn=1280 (128-lane-aligned divisor),
+    not the 256 fallback — 5x the DMA burst per weight row."""
+    assert kernels._plan_tiles(8, 4096, 32000, 8) == (1024, 1280)
+    # and the kernel is numerically right at a 640-divisible width
+    k, n, m = 128, 640, 4
+    w = jnp.asarray(rnd((k, n), seed=8, scale=0.1))
+    x = jnp.asarray(rnd((m, k), seed=9))
+    q = quantize(w, bits=8)
+    kernels.FORCE_INTERPRET = True
+    try:
+        assert kernels._plan_tiles(m, k, n, 8)[1] == 640
+        got = kernels.dequant_matmul(x, q)
+    finally:
+        kernels.FORCE_INTERPRET = False
+    ref = jnp.dot(x, dequantize(q))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2)
