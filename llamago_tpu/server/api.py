@@ -32,8 +32,51 @@ import time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+import os
+
 from llamago_tpu.config import GenerateConfig, ServerConfig
 from llamago_tpu.runtime.engine import Engine, Job, JobStatus
+
+
+def render_chat(messages: list[dict], template: str | None = None
+                ) -> tuple[str, tuple[str, ...]]:
+    """Render OpenAI-style chat `messages` to a single prompt.
+
+    Chat templates are a property of the fine-tune, not the file format,
+    and ggjt/GGUF v1-era checkpoints carry no template metadata — so the
+    server ships two: "plain" (a role-prefixed transcript; right default
+    for the base-model checkpoints the reference targets) and "llama2"
+    (the [INST]/<<SYS>> format of LLaMA-2-chat fine-tunes). Select with
+    LLAMAGO_CHAT_TEMPLATE or a per-request "chat_template" key.
+
+    Returns (prompt, implicit stop sequences that end the turn).
+    """
+    template = template or os.environ.get("LLAMAGO_CHAT_TEMPLATE", "plain")
+    if template == "llama2":
+        system = ""
+        parts: list[str] = []
+        pending_user: str | None = None
+        for m in messages:
+            role, content = m.get("role", "user"), str(m.get("content", ""))
+            if role == "system":
+                system = content
+            elif role == "user":
+                if pending_user is not None:
+                    parts.append(f"[INST] {pending_user} [/INST]")
+                pending_user = content
+            elif role == "assistant":
+                user = pending_user if pending_user is not None else ""
+                parts.append(f"[INST] {user} [/INST] {content}")
+                pending_user = None
+        last = pending_user if pending_user is not None else ""
+        if system:
+            last = f"<<SYS>>\n{system}\n<</SYS>>\n\n{last}"
+        parts.append(f"[INST] {last} [/INST]")
+        return " ".join(parts), ("[INST]",)
+    # plain transcript
+    lines = [f"{m.get('role', 'user')}: {m.get('content', '')}"
+             for m in messages]
+    return "\n".join(lines) + "\nassistant:", ("\nuser:", "\nsystem:")
 
 
 def _valid_uuid(s: str) -> bool:
@@ -230,7 +273,7 @@ def _make_handler(server: JobServer):
 
         def do_POST(self):
             path = self.path.rstrip("/")
-            if path not in ("/jobs", "/v1/completions"):
+            if path not in ("/jobs", "/v1/completions", "/v1/chat/completions"):
                 return self._send(404, "Not found")
             try:
                 n = int(self.headers.get("Content-Length", 0))
@@ -239,15 +282,11 @@ def _make_handler(server: JobServer):
                 return self._send(400, "Malformed JSON body")
             if path == "/v1/completions":
                 return self._completions(payload)
+            if path == "/v1/chat/completions":
+                return self._chat_completions(payload)
             self._send(*server.new_job(payload))
 
-        def _completions(self, payload: dict) -> None:
-            """OpenAI-compatible completions (beyond reference parity):
-            blocking by default, SSE chunks with "stream": true — so
-            standard OpenAI-API clients can point at this server."""
-            prompt = payload.get("prompt", "")
-            if isinstance(prompt, list):
-                prompt = prompt[0] if prompt else ""
+        def _gen_overrides(self, payload: dict) -> dict:
             overrides = {}
             for src, dst in (("max_tokens", "max_tokens"),
                              ("temperature", "temp"), ("top_p", "top_p"),
@@ -258,6 +297,111 @@ def _make_handler(server: JobServer):
                 stop = payload["stop"]
                 overrides["stop"] = tuple(
                     [stop] if isinstance(stop, str) else stop)
+            return overrides
+
+        def _sse_job(self, job, chunk_body, final_body) -> None:
+            """Stream a job's output deltas as SSE, ending with [DONE]."""
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.end_headers()
+            shown = 0
+            try:
+                while True:
+                    out = job.output
+                    if len(out) > shown:
+                        chunk = chunk_body(out[shown:])
+                        shown = len(out)
+                        self.wfile.write(
+                            f"data: {json.dumps(chunk)}\n\n".encode())
+                        self.wfile.flush()
+                    if job.status in (JobStatus.FINISHED, JobStatus.FAILED):
+                        final = final_body(
+                            "stop" if job.status == JobStatus.FINISHED
+                            else "error")
+                        self.wfile.write(
+                            f"data: {json.dumps(final)}\n\n".encode())
+                        self.wfile.write(b"data: [DONE]\n\n")
+                        self.wfile.flush()
+                        return
+                    time.sleep(0.05)
+            except (BrokenPipeError, ConnectionResetError):
+                return
+
+        def _chat_completions(self, payload: dict) -> None:
+            """OpenAI-compatible chat completions (beyond reference
+            parity). Messages render through `render_chat` (plain
+            transcript by default; "llama2" [INST] template via env or
+            the "chat_template" key); the template's turn delimiters are
+            added as implicit stop sequences."""
+            messages = payload.get("messages")
+            if not isinstance(messages, list) or not messages:
+                return self._send(400, {"error": {
+                    "message": "'messages' must be a non-empty list",
+                    "type": "invalid_request_error"}})
+            prompt, turn_stops = render_chat(
+                messages, payload.get("chat_template"))
+            overrides = self._gen_overrides(payload)
+            overrides["stop"] = tuple(overrides.get("stop", ())) + turn_stops
+            overrides.setdefault("stop_at_eos", True)
+            gen = server.gen_defaults.replace(**overrides)
+            if len(prompt) >= gen.ctx_size:
+                return self._send(400, {"error": {
+                    "message": f"rendered chat of {len(prompt)} chars "
+                               f"exceeds context {gen.ctx_size}",
+                    "type": "invalid_request_error"}})
+            job_id = str(uuid.uuid4())
+            job = server.place_job(job_id, prompt, gen)
+
+            if payload.get("stream"):
+                def chunk_body(delta_text):
+                    return {
+                        "id": f"chatcmpl-{job_id}",
+                        "object": "chat.completion.chunk",
+                        "created": int(job.created),
+                        "model": server.model_name,
+                        "choices": [{"index": 0,
+                                     "delta": {"content": delta_text},
+                                     "finish_reason": None}],
+                    }
+
+                def final_body(finish):
+                    b = chunk_body("")
+                    b["choices"][0] = {"index": 0, "delta": {},
+                                       "finish_reason": finish}
+                    return b
+
+                return self._sse_job(job, chunk_body, final_body)
+
+            while job.status not in (JobStatus.FINISHED, JobStatus.FAILED):
+                time.sleep(0.02)
+            if job.status == JobStatus.FAILED:
+                return self._send(500, {"error": {
+                    "message": job.error, "type": "server_error"}})
+            self._send(200, {
+                "id": f"chatcmpl-{job_id}",
+                "object": "chat.completion",
+                "created": int(job.created),
+                "model": server.model_name,
+                "choices": [{"index": 0,
+                             "message": {"role": "assistant",
+                                         "content": job.output.strip()},
+                             "finish_reason": "stop"}],
+                "usage": {
+                    "prompt_tokens": job.prompt_tokens,
+                    "completion_tokens": len(job.output_tokens),
+                    "total_tokens": (job.prompt_tokens
+                                     + len(job.output_tokens)),
+                },
+            })
+
+        def _completions(self, payload: dict) -> None:
+            """OpenAI-compatible completions (beyond reference parity):
+            blocking by default, SSE chunks with "stream": true — so
+            standard OpenAI-API clients can point at this server."""
+            prompt = payload.get("prompt", "")
+            if isinstance(prompt, list):
+                prompt = prompt[0] if prompt else ""
+            overrides = self._gen_overrides(payload)
             gen = server.gen_defaults.replace(**overrides) \
                 if overrides else server.gen_defaults
             if len(prompt) >= gen.ctx_size:
@@ -278,30 +422,8 @@ def _make_handler(server: JobServer):
                 }
 
             if payload.get("stream"):
-                self.send_response(200)
-                self.send_header("Content-Type", "text/event-stream")
-                self.end_headers()
-                shown = 0
-                try:
-                    while True:
-                        out = job.output
-                        if len(out) > shown:
-                            chunk = body(out[shown:], None)
-                            shown = len(out)
-                            self.wfile.write(
-                                f"data: {json.dumps(chunk)}\n\n".encode())
-                            self.wfile.flush()
-                        if job.status in (JobStatus.FINISHED, JobStatus.FAILED):
-                            final = body("", "stop" if job.status ==
-                                         JobStatus.FINISHED else "error")
-                            self.wfile.write(
-                                f"data: {json.dumps(final)}\n\n".encode())
-                            self.wfile.write(b"data: [DONE]\n\n")
-                            self.wfile.flush()
-                            return
-                        time.sleep(0.05)
-                except (BrokenPipeError, ConnectionResetError):
-                    return
+                return self._sse_job(
+                    job, lambda d: body(d, None), lambda f: body("", f))
             # blocking completion (the OpenAI default)
             while job.status not in (JobStatus.FINISHED, JobStatus.FAILED):
                 time.sleep(0.02)

@@ -432,3 +432,97 @@ def test_openai_completions_endpoint():
         assert len(text) > 0
     finally:
         server.shutdown()
+
+
+def test_render_chat_templates():
+    from llamago_tpu.server.api import render_chat
+
+    msgs = [
+        {"role": "system", "content": "be brief"},
+        {"role": "user", "content": "hi"},
+        {"role": "assistant", "content": "hello"},
+        {"role": "user", "content": "more"},
+    ]
+    prompt, stops = render_chat(msgs, "plain")
+    assert prompt == ("system: be brief\nuser: hi\nassistant: hello\n"
+                      "user: more\nassistant:")
+    assert "\nuser:" in stops
+
+    prompt2, stops2 = render_chat(msgs, "llama2")
+    assert prompt2 == ("[INST] hi [/INST] hello "
+                       "[INST] <<SYS>>\nbe brief\n<</SYS>>\n\nmore [/INST]")
+    assert stops2 == ("[INST]",)
+
+
+def test_openai_chat_completions_endpoint():
+    """POST /v1/chat/completions: blocking chat.completion schema and
+    stream=true chat.completion.chunk SSE ending with [DONE]."""
+    import http.client
+    import json as _json
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from conftest import make_test_vocab, random_ggjt_tensors
+    from llamago_tpu.checkpoint.params import host_parameters
+    from llamago_tpu.config import GenerateConfig, MODEL_PRESETS, ServerConfig
+    from llamago_tpu.runtime.engine import Engine
+    from llamago_tpu.server.api import JobServer
+
+    config = MODEL_PRESETS["tiny"].replace(
+        dtype="float32", weight_dtype="float32", max_seq_len=64)
+    tensors = random_ggjt_tensors(config, seed=21)
+    params = jax.tree.map(
+        lambda a: jnp.asarray(np.asarray(a, np.float32)),
+        host_parameters(config, tensors))
+    engine = Engine(config, params, make_test_vocab(), slots=1)
+    gen = GenerateConfig(max_tokens=6, ctx_size=64, temp=0.0)
+    server = JobServer(engine, ServerConfig(host="127.0.0.1", port=0), gen,
+                       model_name="tiny")
+    server.start_background()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=60)
+        conn.request("POST", "/v1/chat/completions", body=_json.dumps(
+            {"model": "tiny", "max_tokens": 4, "temperature": 0,
+             "messages": [{"role": "user", "content": "hi"}]}))
+        resp = conn.getresponse()
+        assert resp.status == 200
+        data = _json.loads(resp.read())
+        assert data["object"] == "chat.completion"
+        msg = data["choices"][0]["message"]
+        assert msg["role"] == "assistant" and isinstance(msg["content"], str)
+        assert data["choices"][0]["finish_reason"] == "stop"
+        assert data["usage"]["total_tokens"] > 0
+
+        # malformed messages -> OpenAI-style 400
+        conn.request("POST", "/v1/chat/completions",
+                     body=_json.dumps({"messages": "nope"}))
+        resp = conn.getresponse()
+        body = _json.loads(resp.read())
+        assert resp.status == 400
+        assert body["error"]["type"] == "invalid_request_error"
+
+        conn.request("POST", "/v1/chat/completions", body=_json.dumps(
+            {"messages": [{"role": "user", "content": "again"}],
+             "max_tokens": 4, "stream": True}))
+        resp = conn.getresponse()
+        assert resp.status == 200
+        chunks, done = [], False
+        while True:
+            line = resp.fp.readline().decode()
+            if not line.startswith("data:"):
+                continue
+            payload = line.split(":", 1)[1].strip()
+            if payload == "[DONE]":
+                done = True
+                break
+            chunks.append(_json.loads(payload))
+        assert done
+        assert all(c["object"] == "chat.completion.chunk" for c in chunks)
+        assert chunks[-1]["choices"][0]["finish_reason"] == "stop"
+        text = "".join(
+            c["choices"][0]["delta"].get("content", "") for c in chunks)
+        assert isinstance(text, str)
+    finally:
+        server.shutdown()
