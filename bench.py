@@ -560,7 +560,6 @@ def bench_soak() -> dict:
     t_start = time.time()
     t_mark = None
     toks_mark = 0
-    submitted_after_lead = 0
     i = 0
     while time.time() - t_start < soak_s:
         t = int(rng.integers(0, templates))
@@ -574,8 +573,6 @@ def bench_soak() -> dict:
         if t_mark is None and now - t_start >= lead_s:
             t_mark = now
             toks_mark = get("/metrics")["generated_tokens"]
-        if t_mark is not None:
-            submitted_after_lead += 1
         time.sleep(float(rng.exponential(arrival_s)))
     # drain: stop submitting, let the queue finish
     deadline = time.time() + float(os.environ.get("BENCH_SERVE_TIMEOUT", "1800"))

@@ -516,11 +516,13 @@ def convert(
     stream_hf = False
     bpe_hf = False
     if fmt == "hf":
-        hparams = {}
+        # hparams always come from config.json (present — fmt detection
+        # keys on it), so a --vocab-only header still carries real model
+        # dims; tensors only load/stream for full conversions
+        hparams = hf_hparams(dir_model)
         if not vocab_only:
             if _hf_safetensor_files(dir_model):
-                hparams = hf_hparams(dir_model)  # constant-memory path
-                stream_hf = True
+                stream_hf = True  # constant-memory path
             else:  # legacy torch-bin checkpoints go through transformers
                 hparams, tensors = load_hf_checkpoint(dir_model)
         tok_path = os.path.join(dir_model, "tokenizer.model")

@@ -223,12 +223,16 @@ def read_gguf(path: str, max_seq_len: int = 1024) -> GGJTCheckpoint:
         tensors["output.weight"] = tensors["tok_embeddings.weight"]
     from llamago_tpu.checkpoint.ggjt import expected_tensor_names
 
-    missing_names = set(expected_tensor_names(n_layers_meta)) - set(tensors)
-    if missing_names:
-        raise ValueError(
-            f"{path}: missing tensors: {sorted(missing_names)[:5]}"
-            f"{'...' if len(missing_names) > 5 else ''}"
-        )
+    # vocab-only GGUFs (llama.cpp --vocab-only) legitimately carry zero
+    # tensors — same allowance as read_ggjt; only a PARTIAL tensor set
+    # indicates a broken file
+    if tensors:
+        missing_names = set(expected_tensor_names(n_layers_meta)) - set(tensors)
+        if missing_names:
+            raise ValueError(
+                f"{path}: missing tensors: {sorted(missing_names)[:5]}"
+                f"{'...' if len(missing_names) > 5 else ''}"
+            )
 
     tok_model = meta.get("tokenizer.ggml.model", b"llama")
     tok_model = tok_model.decode() if isinstance(tok_model, bytes) else tok_model

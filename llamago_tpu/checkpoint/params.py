@@ -83,6 +83,14 @@ def host_parameters(config: ModelConfig, tensors: dict[str, np.ndarray]) -> Para
     quantized them (the runtime needs a dense lookup table)."""
     from llamago_tpu.checkpoint.quant_file import dequantize_rows
 
+    if "tok_embeddings.weight" not in tensors:
+        # zero-tensor checkpoints parse fine (vocab-only files are legal,
+        # and a download truncated right after the vocab looks identical)
+        # — fail HERE with a diagnosis instead of a deep KeyError
+        raise ValueError(
+            "checkpoint carries no model tensors (vocab-only file, or a "
+            "download truncated after the vocab section) — it can "
+            "provide a tokenizer but cannot be loaded as a model")
     emb = tensors["tok_embeddings.weight"]
     emb = dequantize_rows(emb) if _is_file_quant(emb) else np.asarray(emb)
     out_w = tensors["output.weight"]

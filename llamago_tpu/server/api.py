@@ -53,30 +53,57 @@ def render_chat(messages: list[dict], template: str | None = None
     """
     template = template or os.environ.get("LLAMAGO_CHAT_TEMPLATE", "plain")
     if template == "llama2":
-        system = ""
+        system = next((str(m.get("content", "")) for m in messages
+                       if m.get("role") == "system"), "")
         parts: list[str] = []
         pending_user: str | None = None
+        first_user = True
         for m in messages:
             role, content = m.get("role", "user"), str(m.get("content", ""))
-            if role == "system":
-                system = content
-            elif role == "user":
+            if role == "user":
                 if pending_user is not None:
                     parts.append(f"[INST] {pending_user} [/INST]")
+                if first_user and system:
+                    # canonical LLaMA-2-chat format: the <<SYS>> block
+                    # lives inside the FIRST [INST], not the last
+                    content = f"<<SYS>>\n{system}\n<</SYS>>\n\n{content}"
+                first_user = False
                 pending_user = content
             elif role == "assistant":
                 user = pending_user if pending_user is not None else ""
                 parts.append(f"[INST] {user} [/INST] {content}")
                 pending_user = None
-        last = pending_user if pending_user is not None else ""
-        if system:
-            last = f"<<SYS>>\n{system}\n<</SYS>>\n\n{last}"
-        parts.append(f"[INST] {last} [/INST]")
+        parts.append(f"[INST] {pending_user or ''} [/INST]")
         return " ".join(parts), ("[INST]",)
+    if template != "plain":
+        raise ValueError(
+            f"unknown chat template {template!r} (expected 'plain' or 'llama2')")
     # plain transcript
     lines = [f"{m.get('role', 'user')}: {m.get('content', '')}"
              for m in messages]
     return "\n".join(lines) + "\nassistant:", ("\nuser:", "\nsystem:")
+
+
+def _holdback(text: str, stops: tuple[str, ...]) -> int:
+    """Chars at the END of `text` that are a proper prefix of some stop
+    sequence — a streaming endpoint must hold these back, or a stop
+    match completed on the next engine step truncates job.output BELOW
+    what was already streamed (the classic OpenAI-server holdback)."""
+    h = 0
+    for s in stops:
+        for p in range(min(len(s) - 1, len(text)), 0, -1):
+            if text.endswith(s[:p]):
+                h = max(h, p)
+                break
+    return h
+
+
+def _finish_reason(job: Job) -> str:
+    if job.status == JobStatus.FAILED:
+        return "error"
+    if len(job.output_tokens) >= job.gen.max_tokens:
+        return "length"
+    return "stop"
 
 
 def _valid_uuid(s: str) -> bool:
@@ -300,24 +327,31 @@ def _make_handler(server: JobServer):
             return overrides
 
         def _sse_job(self, job, chunk_body, final_body) -> None:
-            """Stream a job's output deltas as SSE, ending with [DONE]."""
+            """Stream a job's output deltas as SSE, ending with [DONE].
+
+            Text that could be the start of a stop sequence is held back
+            until it either completes the match (the engine then
+            truncates job.output — the held text is never sent) or turns
+            out not to be one (sent with the next delta)."""
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.end_headers()
+            stops = tuple(job.gen.stop or ())
             shown = 0
             try:
                 while True:
                     out = job.output
-                    if len(out) > shown:
-                        chunk = chunk_body(out[shown:])
-                        shown = len(out)
+                    done = job.status in (JobStatus.FINISHED, JobStatus.FAILED)
+                    limit = len(out) if done else \
+                        len(out) - _holdback(out, stops)
+                    if limit > shown:
+                        chunk = chunk_body(out[shown:limit])
+                        shown = limit
                         self.wfile.write(
                             f"data: {json.dumps(chunk)}\n\n".encode())
                         self.wfile.flush()
-                    if job.status in (JobStatus.FINISHED, JobStatus.FAILED):
-                        final = final_body(
-                            "stop" if job.status == JobStatus.FINISHED
-                            else "error")
+                    if done:
+                        final = final_body(_finish_reason(job))
                         self.wfile.write(
                             f"data: {json.dumps(final)}\n\n".encode())
                         self.wfile.write(b"data: [DONE]\n\n")
@@ -338,8 +372,12 @@ def _make_handler(server: JobServer):
                 return self._send(400, {"error": {
                     "message": "'messages' must be a non-empty list",
                     "type": "invalid_request_error"}})
-            prompt, turn_stops = render_chat(
-                messages, payload.get("chat_template"))
+            try:
+                prompt, turn_stops = render_chat(
+                    messages, payload.get("chat_template"))
+            except ValueError as e:
+                return self._send(400, {"error": {
+                    "message": str(e), "type": "invalid_request_error"}})
             overrides = self._gen_overrides(payload)
             overrides["stop"] = tuple(overrides.get("stop", ())) + turn_stops
             overrides.setdefault("stop_at_eos", True)
@@ -385,7 +423,7 @@ def _make_handler(server: JobServer):
                 "choices": [{"index": 0,
                              "message": {"role": "assistant",
                                          "content": job.output.strip()},
-                             "finish_reason": "stop"}],
+                             "finish_reason": _finish_reason(job)}],
                 "usage": {
                     "prompt_tokens": job.prompt_tokens,
                     "completion_tokens": len(job.output_tokens),
@@ -430,7 +468,7 @@ def _make_handler(server: JobServer):
             if job.status == JobStatus.FAILED:
                 return self._send(500, {"error": {
                     "message": job.error, "type": "server_error"}})
-            resp = body(job.output, "stop")
+            resp = body(job.output, _finish_reason(job))
             resp["usage"] = {
                 "prompt_tokens": job.prompt_tokens,
                 "completion_tokens": len(job.output_tokens),
@@ -469,17 +507,23 @@ def _make_handler(server: JobServer):
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
             self.end_headers()
+            stops = tuple(job.gen.stop or ())
             shown = 0
             try:
                 while True:
                     out = job.output
-                    if len(out) > shown:
-                        delta = out[shown:]
-                        shown = len(out)
+                    done = job.status in (JobStatus.FINISHED, JobStatus.FAILED)
+                    # hold back a possible stop-sequence prefix (see
+                    # _sse_job): keeps streamed deltas == final output
+                    limit = len(out) if done else \
+                        len(out) - _holdback(out, stops)
+                    if limit > shown:
+                        delta = out[shown:limit]
+                        shown = limit
                         payload = json.dumps({"delta": delta})
                         self.wfile.write(f"data: {payload}\n\n".encode())
                         self.wfile.flush()
-                    if job.status in (JobStatus.FINISHED, JobStatus.FAILED):
+                    if done:
                         _, body = server.get_job(job_id)
                         self.wfile.write(
                             f"event: done\ndata: {json.dumps(body)}\n\n".encode())

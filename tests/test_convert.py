@@ -378,3 +378,36 @@ def test_convert_cli_out_and_vocab_only(tmp_path):
     ckpt = read_ggjt(vout)
     assert ckpt.tensors == {}
     assert len(ckpt.vocab) > 0
+
+
+def test_hf_vocab_only_convert(tmp_path):
+    """--vocab-only on an HF checkpoint: hparams still load from
+    config.json so the header carries real dims (regression: dim=0 /
+    n_heads=0 crashed head_dim with ZeroDivisionError)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    from llamago_tpu.checkpoint.ggjt import read_ggjt
+
+    hf_config = transformers.LlamaConfig(
+        vocab_size=262, hidden_size=64, intermediate_size=176,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64)
+    torch.manual_seed(4)
+    transformers.LlamaForCausalLM(hf_config).eval().save_pretrained(
+        str(tmp_path / "hf"), safe_serialization=True)
+    make_sp_model(str(tmp_path / "hf" / "tokenizer.model"),
+                  extra=[("▁hi", -1.0)])
+
+    out = convert(str(tmp_path / "hf"), out_path=str(tmp_path / "v.bin"),
+                  ftype=0, fmt="hf", vocab_only=True)
+    ckpt = read_ggjt(out)
+    assert ckpt.tensors == {}
+    assert len(ckpt.vocab) > 0
+    assert ckpt.config.dim == 64  # real dims, not zeros
+
+    # and a zero-tensor checkpoint fails CLEARLY at parameter assembly
+    from llamago_tpu.checkpoint.params import host_parameters
+
+    with pytest.raises(ValueError, match="no model tensors"):
+        host_parameters(ckpt.config, ckpt.tensors)

@@ -408,7 +408,8 @@ def test_openai_completions_endpoint():
         data = _json.loads(resp.read())
         assert data["object"] == "text_completion"
         assert data["model"] == "tiny"
-        assert data["choices"][0]["finish_reason"] == "stop"
+        # 4 tokens generated at max_tokens=4: truncated by budget
+        assert data["choices"][0]["finish_reason"] == "length"
         assert data["usage"]["completion_tokens"] == 4
         assert isinstance(data["choices"][0]["text"], str)
 
@@ -427,7 +428,7 @@ def test_openai_completions_endpoint():
                 break
             chunks.append(_json.loads(payload))
         assert done
-        assert chunks[-1]["choices"][0]["finish_reason"] == "stop"
+        assert chunks[-1]["choices"][0]["finish_reason"] == "length"
         text = "".join(c["choices"][0]["text"] for c in chunks)
         assert len(text) > 0
     finally:
@@ -448,10 +449,36 @@ def test_render_chat_templates():
                       "user: more\nassistant:")
     assert "\nuser:" in stops
 
+    # canonical LLaMA-2-chat: <<SYS>> inside the FIRST [INST]
     prompt2, stops2 = render_chat(msgs, "llama2")
-    assert prompt2 == ("[INST] hi [/INST] hello "
-                       "[INST] <<SYS>>\nbe brief\n<</SYS>>\n\nmore [/INST]")
+    assert prompt2 == ("[INST] <<SYS>>\nbe brief\n<</SYS>>\n\nhi [/INST] "
+                       "hello [INST] more [/INST]")
     assert stops2 == ("[INST]",)
+
+    with pytest.raises(ValueError, match="unknown chat template"):
+        render_chat(msgs, "chatml")
+
+
+def test_sse_holdback_and_finish_reason():
+    from llamago_tpu.config import GenerateConfig
+    from llamago_tpu.runtime.engine import Job, JobStatus
+    from llamago_tpu.server.api import _finish_reason, _holdback
+
+    stops = ("\nuser:", "[INST]")
+    assert _holdback("foo\nus", stops) == 3      # prefix of "\nuser:"
+    assert _holdback("foo", stops) == 0
+    assert _holdback("abc[IN", stops) == 3       # prefix of "[INST]"
+    assert _holdback("x\nuser:", stops) == 0     # full match != prefix
+    assert _holdback("", stops) == 0
+
+    gen = GenerateConfig(max_tokens=4)
+    j = Job(id="x", prompt="p", gen=gen, status=JobStatus.FINISHED)
+    j.output_tokens = [1, 2, 3, 4]
+    assert _finish_reason(j) == "length"
+    j.output_tokens = [1, 2]
+    assert _finish_reason(j) == "stop"
+    j.status = JobStatus.FAILED
+    assert _finish_reason(j) == "error"
 
 
 def test_openai_chat_completions_endpoint():
@@ -492,7 +519,7 @@ def test_openai_chat_completions_endpoint():
         assert data["object"] == "chat.completion"
         msg = data["choices"][0]["message"]
         assert msg["role"] == "assistant" and isinstance(msg["content"], str)
-        assert data["choices"][0]["finish_reason"] == "stop"
+        assert data["choices"][0]["finish_reason"] in ("length", "stop")
         assert data["usage"]["total_tokens"] > 0
 
         # malformed messages -> OpenAI-style 400
@@ -520,7 +547,7 @@ def test_openai_chat_completions_endpoint():
             chunks.append(_json.loads(payload))
         assert done
         assert all(c["object"] == "chat.completion.chunk" for c in chunks)
-        assert chunks[-1]["choices"][0]["finish_reason"] == "stop"
+        assert chunks[-1]["choices"][0]["finish_reason"] in ("length", "stop")
         text = "".join(
             c["choices"][0]["delta"].get("content", "") for c in chunks)
         assert isinstance(text, str)
