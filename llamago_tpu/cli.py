@@ -40,8 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
         prog="llamago-tpu", description="TPU-native LLaMA inference framework"
     )
     p.add_argument("command", nargs="?", default=None,
-                   help="optional subcommand: load | convert | quantize | perplexity")
-    p.add_argument("--file", default="", help="text file for `perplexity`")
+                   help="optional subcommand: load | convert | quantize | "
+                        "perplexity | finetune")
+    p.add_argument("--file", default="", help="text file for `perplexity`/`finetune`")
     p.add_argument("--out", default="", help="output path for `quantize`/`convert`")
     p.add_argument("--vocab-only", action="store_true",
                    help="`convert`: write only the scored vocab, no tensors "
@@ -116,6 +117,23 @@ def build_parser() -> argparse.ArgumentParser:
                         "granularity [256]")
     p.add_argument("--draft", type=int, default=7,
                    help="speculative draft length [7]")
+    # --- LoRA fine-tuning (`finetune` subcommand; models/lora.py). The
+    # reference's training story is an unexecuted backward pass + V3
+    # roadmap item (pkg/ml/ml.go:1118-1340, README.md:61).
+    p.add_argument("--rank", type=int, default=8, help="LoRA rank [8]")
+    p.add_argument("--lora-alpha", type=float, default=16.0,
+                   help="LoRA alpha (scale = alpha/rank) [16]")
+    p.add_argument("--lr", type=float, default=1e-3,
+                   help="finetune learning rate [1e-3]")
+    p.add_argument("--steps", type=int, default=100,
+                   help="finetune optimizer steps [100]")
+    p.add_argument("--train-batch", type=int, default=2,
+                   help="finetune batch size (sequences/step) [2]")
+    p.add_argument("--seq", type=int, default=256,
+                   help="finetune sequence length [256, capped by --context]")
+    p.add_argument("--lora", default="",
+                   help="adapters .npz to apply at load (merged into the "
+                        "weights, so serving speed is unchanged)")
     # multi-host (jax.distributed): every host runs the same command; on
     # TPU pods the topology auto-discovers, so just pass --multihost.
     p.add_argument("--multihost", action="store_true",
@@ -148,6 +166,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_perplexity(args)
     if args.command == "quantize":
         return cmd_quantize(args)
+    if args.command == "finetune":
+        return cmd_finetune(args)
     if args.command is not None:
         print(f"unknown command: {args.command}", file=sys.stderr)
         return 2
@@ -265,6 +285,14 @@ def _load_engine(args):
         )
 
         params = fuse_layer_weights(unstack_layer_params(params, config.n_layers))
+    if getattr(args, "lora", ""):
+        # merge saved adapters into the weights at load: serving runs the
+        # plain fused-kernel path afterwards, zero per-step overhead
+        from llamago_tpu.models.lora import attach_lora, load_lora, merge_lora
+
+        params = merge_lora(attach_lora(params, load_lora(args.lora)))
+        if not args.silent:
+            log("info", f"merged LoRA adapters from {args.lora}")
     jax.block_until_ready(jax.tree.leaves(params)[0])
     if not args.silent:
         log("info", f"model ready in {time.time() - t0:.1f}s",
@@ -485,6 +513,63 @@ def cmd_perplexity(args) -> int:
     print(f"[PPL] perplexity {result['ppl']:.4f} | nll {result['nll']:.4f} | "
           f"{result['n_tokens']} tokens in {result['n_windows']} windows "
           f"(ctx {ctx}, {config.weight_dtype} weights)")
+    return 0
+
+
+def cmd_finetune(args) -> int:
+    """LoRA / QLoRA fine-tuning over a text file (models/lora.py): the
+    base stays frozen — quantized bases stream through the fused dequant
+    kernel whose VJP freezes them by construction — and rank-r adapters
+    train with AdamW. Saves a small .npz; serve it with `--lora` (merged
+    at load, so serving speed is unchanged).
+
+    The reference's training is an unexecuted backward pass + roadmap
+    item (reference: pkg/ml/ml.go:1118-1340, README.md:61)."""
+    if not args.model or not args.file:
+        print("error: finetune needs --model and --file", file=sys.stderr)
+        return 2
+    import jax.numpy as jnp
+    import numpy as np
+
+    from llamago_tpu.models import lora
+    from llamago_tpu.tokenizer import tokenize
+
+    engine, ckpt, config = _load_engine(args)
+    params = engine.params
+    engine = None  # params are donated by the train step below
+
+    with open(args.file, encoding="utf-8") as f:
+        text = f.read()
+    ids = np.asarray(tokenize(ckpt.vocab, " " + text, bos=True), np.int32)
+    seq = min(args.seq, args.context)
+    n_blocks = len(ids) // seq
+    if n_blocks == 0:
+        print(f"error: --file tokenizes to {len(ids)} tokens, fewer than "
+              f"--seq {seq}", file=sys.stderr)
+        return 2
+    blocks = ids[: n_blocks * seq].reshape(n_blocks, seq)
+    log("info", f"finetune: {len(ids)} tokens -> {n_blocks} blocks of {seq}",
+        rank=args.rank, steps=args.steps, lr=args.lr)
+
+    params = lora.init_lora(params, rank=args.rank, alpha=args.lora_alpha)
+    opt = lora.init_lora_opt_state(params, lr=args.lr)
+    rng = np.random.default_rng(args.seed if args.seed >= 0 else 0)
+    t0 = time.time()
+    loss = None
+    for step in range(args.steps):
+        take = rng.integers(0, n_blocks, size=args.train_batch)
+        batch = jnp.asarray(blocks[take])
+        params, opt, loss = lora.lora_train_step(
+            params, opt, batch, config, lr=args.lr)
+        if not args.silent and (step % 10 == 0 or step == args.steps - 1):
+            log("info", f"step {step:4d} loss {float(loss):.4f} "
+                f"({time.time() - t0:.1f}s)")
+    out = args.out or (args.model + ".lora.npz")
+    lora.save_lora(out, params)
+    tps = args.steps * args.train_batch * seq / (time.time() - t0)
+    print(f"[FINETUNE] {args.steps} steps, final loss {float(loss):.4f}, "
+          f"{tps:.0f} tok/s -> adapters saved to {out}")
+    print(f"[FINETUNE] serve with: --model {args.model} --lora {out}")
     return 0
 
 

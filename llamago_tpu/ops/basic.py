@@ -73,6 +73,21 @@ def linear(x: jnp.ndarray, w, compute_dtype=None, tp_kind=None) -> jnp.ndarray:
     an active mesh to run the fused kernel per-shard (parallel/tp_kernels).
     """
     if isinstance(w, dict):
+        if "lora_a" in w:
+            # LoRA-wrapped leaf (models/lora.py): frozen base + low-rank
+            # update. stop_gradient freezes a DENSE base's weights while
+            # activation gradients still flow (quantized bases are frozen
+            # by dequant_matmul's VJP already — weight cotangents are
+            # symbolic zeros, the QLoRA contract, ops/kernels.py).
+            base_w = w["base"]
+            if not isinstance(base_w, dict):
+                base_w = jax.lax.stop_gradient(base_w)
+            base = linear(x, base_w, compute_dtype=compute_dtype,
+                          tp_kind=tp_kind)
+            a = w["lora_a"].astype(x.dtype)
+            b = w["lora_b"].astype(x.dtype)
+            delta = (x @ a) @ b * w["lora_scale"].astype(x.dtype)
+            return base + delta.astype(base.dtype)
         from llamago_tpu.ops.quant import quant_matmul
 
         return quant_matmul(x, w, tp_kind=tp_kind)
