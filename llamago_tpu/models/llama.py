@@ -102,6 +102,7 @@ def forward_impl(
     config: ModelConfig,
     return_all_logits: bool = False,
     logit_index: jnp.ndarray | None = None,  # [B] int32 — per-batch position
+    return_embedding: bool = False,
 ):
     """One transformer step (prefill when T>1, decode when T=1).
 
@@ -109,6 +110,10 @@ def forward_impl(
     (needed for perplexity), else [B, V] at `logit_index` (for
     right-padded bucketed prefill) or the last position — parity with the
     reference copying only the last row out (llama.go:394-401).
+    With return_embedding, a third element [B, D] is appended: the
+    final-RMSNorm'd hidden state at the last (or logit_index) position —
+    parity with the reference's embeddings extraction (llama.go:412-419,
+    `embeddings.Data[embdSize*(N-1):]`).
     """
     b, t = tokens.shape
     dtype = jnp.dtype(config.dtype)
@@ -206,10 +211,15 @@ def forward_impl(
         x, params["output"], compute_dtype=dtype, tp_kind=kinds.get("output")
     ).astype(jnp.float32)
 
+    if return_embedding:
+        emb = (x[:, -1, :] if return_all_logits else x).astype(jnp.float32)
+        return logits, KVCache(k=k_new, v=v_new), emb
     return logits, KVCache(k=k_new, v=v_new)
 
 
-forward = partial(jax.jit, static_argnames=("config", "return_all_logits"),
+forward = partial(jax.jit,
+                  static_argnames=("config", "return_all_logits",
+                                   "return_embedding"),
                   donate_argnames=("cache",))(forward_impl)
 
 

@@ -254,6 +254,38 @@ class Engine:
         self._wake.set()
         return job
 
+    def embed(self, text: str) -> tuple[np.ndarray, int]:
+        """Embedding of `text`: the final-RMSNorm'd hidden state at the
+        last prompt position (reference: llama.go:412-419 copies
+        `embeddings.Data[embd*(N-1):]` into lctx.Embedding; there it is
+        dead code behind the never-set EmbeddingMode flag — here it is
+        served, /v1/embeddings). Pads to the engine's prefill buckets so
+        only a handful of programs compile; runs on a scratch 1-slot
+        cache, leaving decode slots untouched.
+
+        Returns (embedding f32 [dim], prompt_token_count).
+        """
+        prefix = " " if getattr(self.vocab, "space_prefix", True) else ""
+        ids = tokenize(self.vocab, prefix + text, bos=True)
+        bucket = self._bucket(len(ids))
+        if len(ids) > bucket:
+            raise ValueError(
+                f"input of {len(ids)} tokens exceeds the largest prefill "
+                f"bucket {self.buckets[-1]}")
+        padded = ids + [0] * (bucket - len(ids))
+        cache = KVCache.create(self.config, batch=1, max_seq=bucket,
+                               layered=self._cache_layered)
+        _, _, emb = forward(
+            self.params,
+            jnp.asarray([padded], jnp.int32),
+            cache,
+            jnp.zeros(1, jnp.int32),
+            self.config,
+            logit_index=jnp.asarray([len(ids) - 1], jnp.int32),
+            return_embedding=True,
+        )
+        return np.asarray(emb[0], np.float32), len(ids)
+
     # --------------------------------------------------------- admission
 
     def _bucket(self, n: int) -> int:

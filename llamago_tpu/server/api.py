@@ -300,7 +300,8 @@ def _make_handler(server: JobServer):
 
         def do_POST(self):
             path = self.path.rstrip("/")
-            if path not in ("/jobs", "/v1/completions", "/v1/chat/completions"):
+            if path not in ("/jobs", "/v1/completions", "/v1/chat/completions",
+                            "/v1/embeddings"):
                 return self._send(404, "Not found")
             try:
                 n = int(self.headers.get("Content-Length", 0))
@@ -311,7 +312,43 @@ def _make_handler(server: JobServer):
                 return self._completions(payload)
             if path == "/v1/chat/completions":
                 return self._chat_completions(payload)
+            if path == "/v1/embeddings":
+                return self._embeddings(payload)
             self._send(*server.new_job(payload))
+
+        def _embeddings(self, payload: dict) -> None:
+            """OpenAI-compatible embeddings: the final-norm hidden state
+            at the last prompt position (the reference computes exactly
+            this but never serves it — llama.go:412-419 behind a
+            never-set flag)."""
+            inputs = payload.get("input", "")
+            if isinstance(inputs, str):
+                inputs = [inputs]
+            if (not isinstance(inputs, list) or not inputs
+                    or not all(isinstance(s, str) for s in inputs)):
+                return self._send(400, {"error": {
+                    "message": "'input' must be a string or list of strings",
+                    "type": "invalid_request_error"}})
+            if len(inputs) > 64:
+                return self._send(400, {"error": {
+                    "message": f"too many inputs ({len(inputs)} > 64)",
+                    "type": "invalid_request_error"}})
+            data, total = [], 0
+            try:
+                for i, text in enumerate(inputs):
+                    emb, n_tok = server.engine.embed(text)
+                    total += n_tok
+                    data.append({"object": "embedding", "index": i,
+                                 "embedding": [float(v) for v in emb]})
+            except ValueError as e:
+                return self._send(400, {"error": {
+                    "message": str(e), "type": "invalid_request_error"}})
+            self._send(200, {
+                "object": "list",
+                "model": server.model_name,
+                "data": data,
+                "usage": {"prompt_tokens": total, "total_tokens": total},
+            })
 
         def _gen_overrides(self, payload: dict) -> dict:
             overrides = {}

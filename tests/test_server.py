@@ -553,3 +553,44 @@ def test_openai_chat_completions_endpoint():
         assert isinstance(text, str)
     finally:
         server.shutdown()
+
+
+def test_embeddings_endpoint(server):
+    """POST /v1/embeddings: OpenAI schema, deterministic, final-norm
+    hidden state (reference computes this but never serves it,
+    llama.go:412-419)."""
+    code, body = req(server, "POST", "/v1/embeddings",
+                     {"input": ["hello", "world"]})
+    assert code == 200
+    assert body["object"] == "list" and len(body["data"]) == 2
+    emb = body["data"][0]["embedding"]
+    assert len(emb) == server.engine.config.dim
+    assert body["usage"]["prompt_tokens"] > 0
+
+    code2, body2 = req(server, "POST", "/v1/embeddings", {"input": "hello"})
+    assert code2 == 200
+    assert body2["data"][0]["embedding"] == emb  # deterministic
+
+    code, body = req(server, "POST", "/v1/embeddings", {"input": 5})
+    assert code == 400
+
+
+def test_engine_embed_padding_invariant(server):
+    """engine.embed pads to a prefill bucket; causal masking makes the
+    result identical to an unpadded forward at the true last position."""
+    import jax.numpy as jnp
+
+    from llamago_tpu.models.llama import forward
+    from llamago_tpu.runtime.kv_cache import KVCache
+    from llamago_tpu.tokenizer import tokenize
+
+    eng = server.engine
+    emb, n = eng.embed("hello")
+    assert emb.shape == (eng.config.dim,)
+    ids = tokenize(eng.vocab, " hello", bos=True)
+    assert n == len(ids)
+    cache = KVCache.create(eng.config, batch=1, layered=eng._cache_layered)
+    _, _, ref = forward(eng.params, jnp.asarray([ids], jnp.int32), cache,
+                        jnp.zeros(1, jnp.int32), eng.config,
+                        return_embedding=True)
+    np.testing.assert_allclose(emb, np.asarray(ref[0]), rtol=1e-5, atol=1e-5)
