@@ -301,7 +301,7 @@ def _make_handler(server: JobServer):
         def do_POST(self):
             path = self.path.rstrip("/")
             if path not in ("/jobs", "/v1/completions", "/v1/chat/completions",
-                            "/v1/embeddings"):
+                            "/v1/embeddings", "/tokenize", "/detokenize"):
                 return self._send(404, "Not found")
             try:
                 n = int(self.headers.get("Content-Length", 0))
@@ -314,7 +314,34 @@ def _make_handler(server: JobServer):
                 return self._chat_completions(payload)
             if path == "/v1/embeddings":
                 return self._embeddings(payload)
+            if path in ("/tokenize", "/detokenize"):
+                return self._tokenize(path, payload)
             self._send(*server.new_job(payload))
+
+        def _tokenize(self, path: str, payload: dict) -> None:
+            """llama.cpp-server-style tokenizer endpoints: POST /tokenize
+            {"content": str} -> {"tokens": [...]}; POST /detokenize
+            {"tokens": [...]} -> {"content": str}. Useful for clients
+            budgeting prompts against --context without a local copy of
+            the vocab."""
+            from llamago_tpu.tokenizer import detokenize, tokenize
+
+            vocab = server.engine.vocab
+            if path == "/tokenize":
+                content = payload.get("content")
+                if not isinstance(content, str):
+                    return self._send(400, "'content' must be a string")
+                prefix = " " if getattr(vocab, "space_prefix", True) else ""
+                ids = tokenize(vocab, prefix + content,
+                               bos=bool(payload.get("add_bos", True)))
+                return self._send(200, {"tokens": ids})
+            toks = payload.get("tokens")
+            if (not isinstance(toks, list)
+                    or not all(isinstance(t, int) for t in toks)):
+                return self._send(400, "'tokens' must be a list of ints")
+            if any(t < 0 or t >= len(vocab) for t in toks):
+                return self._send(400, "token id out of range")
+            return self._send(200, {"content": detokenize(vocab, toks)})
 
         def _embeddings(self, payload: dict) -> None:
             """OpenAI-compatible embeddings: the final-norm hidden state

@@ -594,3 +594,24 @@ def test_engine_embed_padding_invariant(server):
                         jnp.zeros(1, jnp.int32), eng.config,
                         return_embedding=True)
     np.testing.assert_allclose(emb, np.asarray(ref[0]), rtol=1e-5, atol=1e-5)
+
+
+def test_tokenize_detokenize_endpoints(server):
+    """POST /tokenize + /detokenize (llama.cpp-server convention):
+    round-trips through the engine's own vocab."""
+    code, body = req(server, "POST", "/tokenize", {"content": "hello world"})
+    assert code == 200
+    toks = body["tokens"]
+    assert toks and all(isinstance(t, int) for t in toks)
+    from llamago_tpu.tokenizer import BOS_TOKEN
+
+    assert toks[0] == BOS_TOKEN  # add_bos default
+
+    code, body = req(server, "POST", "/detokenize", {"tokens": toks[1:]})
+    assert code == 200
+    assert body["content"] == " hello world"  # leading-space normalization
+
+    code, _ = req(server, "POST", "/tokenize", {"content": 7})
+    assert code == 400
+    code, _ = req(server, "POST", "/detokenize", {"tokens": [99999999]})
+    assert code == 400
