@@ -333,6 +333,51 @@ def kern_w4a8_raw(x_ref, q_ref, s_ref, o_ref, *, tk, tn, tm):
     o_ref[:] += out
 
 
+def kern_base8(x_ref, q_ref, s_ref, o_ref, *, tk, tn):
+    """Current production INT8 path: int8 -> f32 convert, scale mult,
+    f32 dot (ops/kernels.py:_dequant_mm_kernel bits=8). Lab baseline for
+    the w8a8 comparison."""
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    blocks = tk // QK
+    s = s_ref[:].astype(jnp.float32)
+    q = q_ref[:].astype(jnp.float32).reshape(blocks, QK, tn)
+    w = (q * s[:, None, :]).reshape(tk, tn)
+    o_ref[:] += jnp.dot(x_ref[:].astype(jnp.float32), w,
+                        preferred_element_type=jnp.float32)
+
+
+def kern_w8a8(x_ref, q_ref, s_ref, o_ref, *, tk, tn, tm):
+    """ZERO weight-side VPU work: int8 weights go STRAIGHT to batched
+    int8 x int8 MXU dots (int32 accumulate); x quantizes in-kernel per
+    (row, block) and the two scale sets fold on the [blocks, tm, tn]
+    output. If Mosaic lowers the int dots at rate, this is DMA-bound —
+    the ceiling the f32-convert path can't reach."""
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    blocks = tk // QK
+    s = s_ref[:].astype(jnp.float32)                    # [blocks, tn]
+    w = q_ref[:].reshape(blocks, QK, tn)                # int8, untouched
+    x = x_ref[:].astype(jnp.float32).reshape(tm, blocks, QK)
+    amax = jnp.max(jnp.abs(x), axis=2)
+    sx = jnp.where(amax > 0, amax / 127.0, 1.0)
+    xq = jnp.clip(jnp.round(x / sx[:, :, None]), -127, 127).astype(jnp.int8)
+    xb = xq.transpose(1, 0, 2)                          # [blocks, tm, QK]
+    acc = jax.lax.dot_general(xb, w, (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.int32)
+    out = jnp.sum(acc.astype(jnp.float32)
+                  * sx.T[:, :, None] * s[:, None, :], axis=0)
+    o_ref[:] += out
+
+
 def kern_i4native(x_ref, q_ref, s_ref, o_ref, *, tk, tn):
     """Weights stored as a native jnp.int4 array [k, n] (load-time
     transform; file format unchanged; XLA S4 packs 2/byte in HBM). The
@@ -375,6 +420,8 @@ VARIANTS = {
     "w4a8_raw": (kern_w4a8_raw, {"needs_tm": True}),
     "i4native": (kern_i4native, {"fmt": "i4"}),
     "xla_i4": (None, {"fmt": "i4", "jnp": jnp_xla_i4}),
+    "base8": (kern_base8, {"fmt": "q8"}),
+    "w8a8": (kern_w8a8, {"fmt": "q8", "needs_tm": True}),
     "bf16dot": (kern_bf16dot, {}),
     "decode_only": (kern_decode_only, {}),
     "decode_bitcast": (kern_decode_bitcast, {}),
@@ -406,12 +453,14 @@ def run_variant(name, kern, opts, k=8192, n=7168, m=8, layers=24, steps=8,
     key = jax.random.PRNGKey(0)
     from llamago_tpu.ops import quant
 
+    fmt = opts.get("fmt", "q4")
+    qkey = "q8" if fmt == "q8" else "q4"
     ws = []
     for i in range(layers):
         key, sub = jax.random.split(key)
         w = jax.random.normal(sub, (k, n), jnp.bfloat16) * 0.02
-        qw = quant.quantize(w, 4)
-        ws.append(to_i4(qw) if opts.get("fmt") == "i4" else qw)
+        qw = quant.quantize(w, 8 if fmt == "q8" else 4)
+        ws.append(to_i4(qw) if fmt == "i4" else qw)
     stacked = {p: jnp.stack([w[p] for w in ws]) for p in ws[0]}
     _sync(stacked["s"])
     weight_bytes = sum(_leaf_bytes(l) for l in jax.tree.leaves(stacked))
@@ -421,7 +470,7 @@ def run_variant(name, kern, opts, k=8192, n=7168, m=8, layers=24, steps=8,
     if opts.get("needs_tm"):
         kw["tm"] = tm
     grid = (n // tn, k // tk)
-    q_rows = tk if opts.get("fmt") == "i4" else tk // 2
+    q_rows = tk if fmt in ("i4", "q8") else tk // 2
     call = None
     if kern is not None:
         call = pl.pallas_call(
@@ -452,7 +501,7 @@ def run_variant(name, kern, opts, k=8192, n=7168, m=8, layers=24, steps=8,
             def layer(x, lw):
                 if call is None:
                     return opts["jnp"](x, lw, back), None
-                o = call(x, lw["q4"], lw["s"])  # [tm, n]
+                o = call(x, lw[qkey], lw["s"])  # [tm, n]
                 x = jnp.tanh(o.astype(jnp.bfloat16) @ back) * 0.5
                 return x, None
             x, _ = jax.lax.scan(layer, x, stacked)
@@ -479,14 +528,16 @@ def correctness(name, kern, opts, k=512, n=512, m=8):
     if name in ("decode_only", "dma_only"):
         return
     from llamago_tpu.ops import quant
+    fmt = opts.get("fmt", "q4")
+    qkey = "q8" if fmt == "q8" else "q4"
     key = jax.random.PRNGKey(1)
     w = jax.random.normal(key, (k, n), jnp.float32)
-    qw = quant.quantize(w, 4)
+    qw = quant.quantize(w, 8 if fmt == "q8" else 4)
     x = jax.random.normal(jax.random.PRNGKey(2), (8, k), jnp.bfloat16)
     ref = x.astype(jnp.float32) @ quant.dequantize(qw, jnp.float32)
     tk, tn = 256, 256
     tm = 8
-    if opts.get("fmt") == "i4":
+    if fmt == "i4":
         qw = to_i4(qw)
     if opts.get("jnp"):
         # check only the dequant-dot core (the lab's jnp fn appends the
@@ -499,7 +550,7 @@ def correctness(name, kern, opts, k=512, n=512, m=8):
         kw = dict(tk=tk, tn=tn)
         if opts.get("needs_tm"):
             kw["tm"] = tm
-        q_rows = tk if opts.get("fmt") == "i4" else tk // 2
+        q_rows = tk if fmt in ("i4", "q8") else tk // 2
         out = pl.pallas_call(
             functools.partial(kern, **kw),
             grid=(n // tn, k // tk),
@@ -511,10 +562,10 @@ def correctness(name, kern, opts, k=512, n=512, m=8):
             out_specs=pl.BlockSpec((tm, tn), lambda ni, ki: (0, ni), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((tm, n), jnp.float32),
             interpret=jax.default_backend() != "tpu",
-        )(x, qw["q4"], qw["s"])
-        # w4a8 variants quantize activations too: widen the tolerance to
-        # the a8 quantization error bound
-        tol = 5e-2 if "w4a8" in name else 2e-2
+        )(x, qw[qkey], qw["s"])
+        # a8 variants quantize activations too: widen the tolerance to
+        # the activation-quantization error bound
+        tol = 5e-2 if "a8" in name else 2e-2
     err = float(jnp.max(jnp.abs(out - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9))
     status = "OK" if err < tol else "FAIL"
     print(f"{name:>14s}  correctness rel-err {err:.2e} {status}")
