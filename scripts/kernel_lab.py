@@ -152,6 +152,73 @@ def kern_bf16dot(x_ref, q_ref, s_ref, o_ref, *, tk, tn):
                         preferred_element_type=jnp.float32)
 
 
+def kern_split_u8_h(x_lo_ref, x_hi_ref, q_ref, s_ref, o_ref, *, tk, tn):
+    """split_h but mask/shift on the RAW uint8 lanes (4 elems/word
+    denser than the i32-widened chain) — tests whether Mosaic runs
+    narrow-int vector ops at packed rate or silently widens to i32."""
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    blocks = tk // QK
+    half = QK // 2
+    s = s_ref[:].astype(jnp.float32)
+    b = -8.0 * s
+    p = q_ref[:]                                     # uint8 [tk//2, tn]
+    lo8 = (p & jnp.uint8(0xF))
+    hi8 = (p >> jnp.uint8(4))
+    w_lo = (lo8.astype(jnp.float32).reshape(blocks, half, tn)
+            * s[:, None, :] + b[:, None, :]).reshape(blocks * half, tn)
+    w_hi = (hi8.astype(jnp.float32).reshape(blocks, half, tn)
+            * s[:, None, :] + b[:, None, :]).reshape(blocks * half, tn)
+    o_ref[:] += (jnp.dot(x_lo_ref[:].astype(jnp.float32), w_lo,
+                         preferred_element_type=jnp.float32)
+                 + jnp.dot(x_hi_ref[:].astype(jnp.float32), w_hi,
+                           preferred_element_type=jnp.float32))
+
+
+def kern_split_bf16_h(x_lo_ref, x_hi_ref, q_ref, s_ref, o_ref, *, tk, tn):
+    """split_h with the scale FMA in bf16 (16-bit lanes, 2 elems/word):
+    nibbles convert i32->bf16, scales/bias pre-cast, bf16 dots."""
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    blocks = tk // QK
+    half = QK // 2
+    s = s_ref[:].astype(jnp.bfloat16)
+    b = (-8.0 * s_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
+    p = q_ref[:].astype(jnp.int32).reshape(blocks, half, tn)
+    lo = (p & 0xF).astype(jnp.bfloat16)
+    hi = ((p >> 4) & 0xF).astype(jnp.bfloat16)
+    w_lo = (lo * s[:, None, :] + b[:, None, :]).reshape(blocks * half, tn)
+    w_hi = (hi * s[:, None, :] + b[:, None, :]).reshape(blocks * half, tn)
+    o_ref[:] += (jnp.dot(x_lo_ref[:].astype(jnp.bfloat16), w_lo,
+                         preferred_element_type=jnp.float32)
+                 + jnp.dot(x_hi_ref[:].astype(jnp.bfloat16), w_hi,
+                           preferred_element_type=jnp.float32))
+
+
+def kern_w16dot(x_ref, q_ref, s_ref, o_ref, *, tk, tn):
+    """Raw bf16 weights straight from HBM, ZERO decode — isolates the
+    (DMA + MXU dot) cost shared by every variant. If this matches the
+    full dequant kernels' elem rate, the dot (not the VPU decode chain)
+    is the binding constraint at these shapes."""
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    o_ref[:] += (jnp.dot(x_ref[:].astype(jnp.bfloat16), q_ref[:],
+                         preferred_element_type=jnp.float32)
+                 + 0.0 * s_ref[0:1, :].astype(jnp.float32))
+
+
 def kern_decode_only(x_ref, q_ref, s_ref, o_ref, *, tk, tn):
     """Unpack+scale WITHOUT the matmul — measures the pure VPU decode
     ceiling of the current unpack chain (reduces w to keep it live)."""
@@ -168,8 +235,8 @@ def kern_decode_only(x_ref, q_ref, s_ref, o_ref, *, tk, tn):
     hi = (((p >> 4) & 0xF) - 8).astype(jnp.float32)
     q = jnp.concatenate([lo, hi], axis=1)
     w = (q * s[:, None, :]).reshape(tk, tn)
-    o_ref[:] += jnp.sum(w, axis=0, keepdims=True) + 0.0 * jnp.sum(
-        x_ref[:], axis=1, keepdims=True).T[:1]
+    o_ref[:] += (jnp.sum(w, axis=0, keepdims=True)
+                 + 0.0 * jnp.sum(x_ref[:].astype(jnp.float32)))
 
 
 def kern_dma_only(x_ref, q_ref, s_ref, o_ref, *, tk, tn):
@@ -183,7 +250,7 @@ def kern_dma_only(x_ref, q_ref, s_ref, o_ref, *, tk, tn):
 
     p = q_ref[:].astype(jnp.int32)
     o_ref[:] += (jnp.sum(p.astype(jnp.float32), axis=0, keepdims=True)
-                 + 0.0 * s_ref[0:1, :] + 0.0 * jnp.sum(x_ref[:]))
+                 + 0.0 * s_ref[0:1, :] + 0.0 * jnp.sum(x_ref[:].astype(jnp.float32)))
 
 
 def kern_split(x_ref, q_ref, s_ref, o_ref, *, tk, tn, tm):
@@ -263,7 +330,7 @@ def kern_decode_bitcast(x_ref, q_ref, s_ref, o_ref, *, tk, tn):
     w = (f_lo * s[:, None, :] + bias[:, None, :]
          + f_hi * s[:, None, :] + bias[:, None, :])
     o_ref[:] += (jnp.sum(w, axis=(0, 1))[None, :]
-                 + 0.0 * jnp.sum(x_ref[:], axis=1, keepdims=True).T[:1])
+                 + 0.0 * jnp.sum(x_ref[:].astype(jnp.float32)))
 
 
 def kern_w4a8(x_ref, q_ref, s_ref, o_ref, *, tk, tn, tm):
@@ -378,6 +445,106 @@ def kern_w8a8(x_ref, q_ref, s_ref, o_ref, *, tk, tn, tm):
     o_ref[:] += out
 
 
+def kern_split_h(x_lo_ref, x_hi_ref, q_ref, s_ref, o_ref, *, tk, tn):
+    """split with the x gather HOISTED out of the kernel (Mosaic rejects
+    the in-kernel [tm, tk] -> [tm, blocks, QK] lane-split reshape:
+    'infer-vector-layout: unsupported shape cast' on real v5e). The two
+    nibble-plane x halves arrive as separate [tm, k/2] operands; the
+    kernel runs TWO full-contraction 2D dots and never concatenates the
+    weight planes. Decode chain per nibble: mask, convert, FMA."""
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    blocks = tk // QK
+    half = QK // 2
+    s = s_ref[:].astype(jnp.float32)
+    b = -8.0 * s
+    p = q_ref[:].astype(jnp.int32).reshape(blocks, half, tn)
+    w_lo = ((p & 0xF).astype(jnp.float32) * s[:, None, :]
+            + b[:, None, :]).reshape(blocks * half, tn)
+    w_hi = (((p >> 4) & 0xF).astype(jnp.float32) * s[:, None, :]
+            + b[:, None, :]).reshape(blocks * half, tn)
+    o_ref[:] += (jnp.dot(x_lo_ref[:].astype(jnp.float32), w_lo,
+                         preferred_element_type=jnp.float32)
+                 + jnp.dot(x_hi_ref[:].astype(jnp.float32), w_hi,
+                           preferred_element_type=jnp.float32))
+
+
+def kern_split_bitcast_h(x_lo_ref, x_hi_ref, q_ref, s_ref, o_ref, *, tk, tn):
+    """split_h + mantissa-OR decode: mask, OR, bitcast (free), exact sub,
+    mul — no convert instruction, no concat, x halves hoisted."""
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    blocks = tk // QK
+    half = QK // 2
+    s = s_ref[:].astype(jnp.float32)
+    p = q_ref[:].astype(jnp.int32).reshape(blocks, half, tn)
+    magic = jnp.int32(0x4B000000)
+    off = jnp.float32(8388608.0 + 8.0)
+    f_lo = jax.lax.bitcast_convert_type((p & 0xF) | magic, jnp.float32) - off
+    f_hi = jax.lax.bitcast_convert_type(((p >> 4) & 0xF) | magic,
+                                        jnp.float32) - off
+    w_lo = (f_lo * s[:, None, :]).reshape(blocks * half, tn)
+    w_hi = (f_hi * s[:, None, :]).reshape(blocks * half, tn)
+    o_ref[:] += (jnp.dot(x_lo_ref[:].astype(jnp.float32), w_lo,
+                         preferred_element_type=jnp.float32)
+                 + jnp.dot(x_hi_ref[:].astype(jnp.float32), w_hi,
+                           preferred_element_type=jnp.float32))
+
+
+def kern_w8a8_h(xq_ref, q_ref, s_ref, sx_ref, o_ref, *, tk, tn, tm):
+    """w8a8 with activation quantization HOISTED: xq arrives pre-shaped
+    [blocks, tm, QK] int8 and sx [blocks, tm] f32 (the in-kernel x
+    reshape/transpose is what Mosaic rejected). Weight-side VPU work is
+    ONE sublane-split reshape; the batched int8 MXU dots accumulate in
+    int32 and both scale sets fold on the [blocks, tm, tn] output."""
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    blocks = tk // QK
+    w3 = q_ref[:].reshape(blocks, QK, tn)               # int8, untouched
+    acc = jax.lax.dot_general(xq_ref[:], w3, (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.int32)
+    s = s_ref[:].astype(jnp.float32)                    # [blocks, tn]
+    sx = sx_ref[:].astype(jnp.float32)                  # [blocks, tm]
+    o_ref[:] += jnp.sum(acc.astype(jnp.float32)
+                        * sx[:, :, None] * s[:, None, :], axis=0)
+
+
+def kern_w4a8_h(xq_ref, q_ref, s_ref, sx_ref, o_ref, *, tk, tn, tm):
+    """w4a8 with hoisted activation quantization: unpack nibbles to
+    centered int8 (mask, sub, narrow ×2, concat), batched int8 MXU dots,
+    scales fold on output."""
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    blocks = tk // QK
+    half = QK // 2
+    p = q_ref[:].astype(jnp.int32).reshape(blocks, half, tn)
+    lo = ((p & 0xF) - 8).astype(jnp.int8)
+    hi = (((p >> 4) & 0xF) - 8).astype(jnp.int8)
+    w3 = jnp.concatenate([lo, hi], axis=1)              # [blocks, QK, tn]
+    acc = jax.lax.dot_general(xq_ref[:], w3, (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.int32)
+    s = s_ref[:].astype(jnp.float32)
+    sx = sx_ref[:].astype(jnp.float32)
+    o_ref[:] += jnp.sum(acc.astype(jnp.float32)
+                        * sx[:, :, None] * s[:, None, :], axis=0)
+
+
 def kern_i4native(x_ref, q_ref, s_ref, o_ref, *, tk, tn):
     """Weights stored as a native jnp.int4 array [k, n] (load-time
     transform; file format unchanged; XLA S4 packs 2/byte in HBM). The
@@ -398,7 +565,7 @@ def kern_i4native(x_ref, q_ref, s_ref, o_ref, *, tk, tn):
                         preferred_element_type=jnp.float32)
 
 
-def jnp_xla_i4(x, lw, back):
+def jnp_xla_i4(x, lw, chain):
     """XLA-only baseline: int4-dtype weights dequantized in jnp, no
     Pallas — measures what the compiler alone does with S4 weights."""
     q, s = lw["q4"], lw["s"]
@@ -406,7 +573,7 @@ def jnp_xla_i4(x, lw, back):
     w = (q.astype(jnp.float32).reshape(k // QK, QK, n)
          * s.astype(jnp.float32)[:, None, :]).reshape(k, n)
     o = jnp.dot(x.astype(jnp.float32), w, preferred_element_type=jnp.float32)
-    return jnp.tanh(o.astype(jnp.bfloat16) @ back) * 0.5
+    return chain(o)
 
 
 VARIANTS = {
@@ -415,6 +582,12 @@ VARIANTS = {
     "bitcast": (kern_bitcast, {}),
     "split": (kern_split, {"needs_tm": True}),
     "split_bitcast": (kern_split_bitcast, {"needs_tm": True}),
+    "split_h": (kern_split_h, {"hoist": "split"}),
+    "split_u8_h": (kern_split_u8_h, {"hoist": "split"}),
+    "split_bf16_h": (kern_split_bf16_h, {"hoist": "split"}),
+    "split_bitcast_h": (kern_split_bitcast_h, {"hoist": "split"}),
+    "w8a8_h": (kern_w8a8_h, {"hoist": "a8", "needs_tm": True, "fmt": "q8"}),
+    "w4a8_h": (kern_w4a8_h, {"hoist": "a8", "needs_tm": True}),
     "int8dot": (kern_int8dot, {"needs_tm": True}),
     "w4a8": (kern_w4a8, {"needs_tm": True}),
     "w4a8_raw": (kern_w4a8_raw, {"needs_tm": True}),
@@ -423,6 +596,7 @@ VARIANTS = {
     "base8": (kern_base8, {"fmt": "q8"}),
     "w8a8": (kern_w8a8, {"fmt": "q8", "needs_tm": True}),
     "bf16dot": (kern_bf16dot, {}),
+    "w16dot": (kern_w16dot, {"fmt": "w16"}),
     "decode_only": (kern_decode_only, {}),
     "decode_bitcast": (kern_decode_bitcast, {}),
     "dma_only": (kern_dma_only, {}),
@@ -445,8 +619,76 @@ def _leaf_bytes(leaf) -> float:
     return leaf.size * leaf.dtype.itemsize
 
 
+def make_call(kern, opts, k, n, m, tk, tn, fmt):
+    """Build (pallas_call, ops_of) for a variant. ops_of(x, lw, qkey)
+    returns the full operand list in the kernel's signature order —
+    hoisted variants precompute their x-side operands in jnp OUTSIDE
+    the kernel (Mosaic rejects the lane-splitting x reshape in-kernel
+    on real v5e; x is tiny so the hoist is ~free)."""
+    tm = max(8, m)
+    hoist = opts.get("hoist")
+    kw = dict(tk=tk, tn=tn)
+    if opts.get("needs_tm"):
+        kw["tm"] = tm
+    grid = (n // tn, k // tk)
+    q_rows = tk if fmt in ("i4", "q8", "w16") else tk // 2
+    qspec = pl.BlockSpec((q_rows, tn), lambda ni, ki: (ki, ni),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((tk // QK, tn), lambda ni, ki: (ki, ni),
+                         memory_space=pltpu.VMEM)
+    common = dict(
+        grid=grid,
+        out_specs=pl.BlockSpec((tm, tn), lambda ni, ki: (0, ni),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tm, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * tm * k * n,
+            bytes_accessed=k * n // 2 + tm * k * 2 + tm * n * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )
+    half = QK // 2
+    if hoist == "split":
+        xspec = pl.BlockSpec((tm, tk // 2), lambda ni, ki: (0, ki),
+                             memory_space=pltpu.VMEM)
+        call = pl.pallas_call(functools.partial(kern, **kw),
+                              in_specs=[xspec, xspec, qspec, sspec], **common)
+
+        def ops_of(x, lw, qkey):
+            x3 = x.astype(jnp.bfloat16).reshape(tm, k // QK, QK)
+            return [x3[:, :, :half].reshape(tm, k // 2),
+                    x3[:, :, half:].reshape(tm, k // 2), lw[qkey], lw["s"]]
+    elif hoist == "a8":
+        xqspec = pl.BlockSpec((tk // QK, tm, QK), lambda ni, ki: (ki, 0, 0),
+                              memory_space=pltpu.VMEM)
+        sxspec = pl.BlockSpec((tk // QK, tm), lambda ni, ki: (ki, 0),
+                              memory_space=pltpu.VMEM)
+        call = pl.pallas_call(functools.partial(kern, **kw),
+                              in_specs=[xqspec, qspec, sspec, sxspec],
+                              **common)
+
+        def ops_of(x, lw, qkey):
+            x3 = x.astype(jnp.float32).reshape(tm, k // QK, QK)
+            x3 = x3.transpose(1, 0, 2)                   # [k//QK, tm, QK]
+            amax = jnp.max(jnp.abs(x3), axis=2)          # [k//QK, tm]
+            sx = jnp.where(amax > 0, amax / 127.0, 1.0)
+            xq = jnp.clip(jnp.round(x3 / sx[:, :, None]),
+                          -127, 127).astype(jnp.int8)
+            return [xq, lw[qkey], lw["s"], sx]
+    else:
+        xspec = pl.BlockSpec((tm, tk), lambda ni, ki: (0, ki),
+                             memory_space=pltpu.VMEM)
+        call = pl.pallas_call(functools.partial(kern, **kw),
+                              in_specs=[xspec, qspec, sspec], **common)
+
+        def ops_of(x, lw, qkey):
+            return [x, lw[qkey], lw["s"]]
+    return call, ops_of
+
+
 def run_variant(name, kern, opts, k=8192, n=7168, m=8, layers=24, steps=8,
-                tk=None, tn=None):
+                tk=None, tn=None, reps=8):
     tk = tk or (1024 if k % 1024 == 0 else 512)
     tn = tn or 1024
     assert k % tk == 0 and n % tn == 0
@@ -454,56 +696,47 @@ def run_variant(name, kern, opts, k=8192, n=7168, m=8, layers=24, steps=8,
     from llamago_tpu.ops import quant
 
     fmt = opts.get("fmt", "q4")
-    qkey = "q8" if fmt == "q8" else "q4"
+    qkey = {"q8": "q8", "w16": "q16"}.get(fmt, "q4")
     ws = []
     for i in range(layers):
         key, sub = jax.random.split(key)
         w = jax.random.normal(sub, (k, n), jnp.bfloat16) * 0.02
-        qw = quant.quantize(w, 8 if fmt == "q8" else 4)
+        if fmt == "w16":
+            qw = {"q16": w, "s": jnp.ones((k // QK, n), jnp.bfloat16)}
+        else:
+            qw = quant.quantize(w, 8 if fmt == "q8" else 4)
         ws.append(to_i4(qw) if fmt == "i4" else qw)
     stacked = {p: jnp.stack([w[p] for w in ws]) for p in ws[0]}
     _sync(stacked["s"])
     weight_bytes = sum(_leaf_bytes(l) for l in jax.tree.leaves(stacked))
 
     tm = max(8, m)
-    kw = dict(tk=tk, tn=tn)
-    if opts.get("needs_tm"):
-        kw["tm"] = tm
-    grid = (n // tn, k // tk)
-    q_rows = tk if fmt in ("i4", "q8") else tk // 2
-    call = None
+    call = ops_of = None
     if kern is not None:
-        call = pl.pallas_call(
-            functools.partial(kern, **kw),
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((tm, tk), lambda ni, ki: (0, ki), memory_space=pltpu.VMEM),
-                pl.BlockSpec((q_rows, tn), lambda ni, ki: (ki, ni), memory_space=pltpu.VMEM),
-                pl.BlockSpec((tk // QK, tn), lambda ni, ki: (ki, ni), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((tm, tn), lambda ni, ki: (0, ni), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((tm, n), jnp.float32),
-            cost_estimate=pl.CostEstimate(
-                flops=2 * tm * k * n,
-                bytes_accessed=k * n // 2 + tm * k * 2 + tm * n * 4,
-                transcendentals=0,
-            ),
-            interpret=jax.default_backend() != "tpu",
-        )
+        call, ops_of = make_call(kern, opts, k, n, m, tk, tn, fmt)
 
-    # back-projection weight so outputs chain [m, n] -> [m, k]
-    key, sub = jax.random.split(key)
-    back = jax.random.normal(sub, (n, k), jnp.bfloat16) * 0.01
+    # Chain [m, n] -> [m, k] WITHOUT a back-projection matmul: a [n, k]
+    # bf16 back matrix is ~115 MB of HBM traffic per layer — 3.6x the
+    # int4 weight bytes — and drowned the kernel signal (every variant
+    # measured ~200 G elem/s until this was removed). Concat/slice +
+    # tanh keeps the data dependence with zero extra HBM reads.
+    def chain(o):
+        o = o.astype(jnp.bfloat16)
+        if k <= n:
+            nxt = o[:, :k]
+        else:
+            reps_ = -(-k // n)
+            nxt = jnp.concatenate([o] * reps_, axis=1)[:, :k]
+        return jnp.tanh(nxt) * 0.5
 
     @jax.jit
     def sweep(stacked, x):
         def outer(x, _):
             def layer(x, lw):
                 if call is None:
-                    return opts["jnp"](x, lw, back), None
-                o = call(x, lw[qkey], lw["s"])  # [tm, n]
-                x = jnp.tanh(o.astype(jnp.bfloat16) @ back) * 0.5
-                return x, None
+                    return opts["jnp"](x, lw, chain), None
+                o = call(*ops_of(x, lw, qkey))  # [tm, n]
+                return chain(o), None
             x, _ = jax.lax.scan(layer, x, stacked)
             return x, None
         x, _ = jax.lax.scan(outer, x, None, length=steps)
@@ -512,24 +745,27 @@ def run_variant(name, kern, opts, k=8192, n=7168, m=8, layers=24, steps=8,
     x0 = jnp.ones((tm, k), jnp.bfloat16)
     x = sweep(stacked, x0)
     _sync(x)
+    # Amortize the host<->device sync latency (~40 ms on the tunneled
+    # transport) over `reps` back-to-back dispatches + one final sync.
     t0 = time.time()
-    x = sweep(stacked, x)
+    for _ in range(reps):
+        x = sweep(stacked, x)
     _sync(x)
-    dt = time.time() - t0
+    dt = (time.time() - t0) / reps
     gbps = weight_bytes * steps / dt / 1e9
     elems = k * n * layers * steps / dt / 1e9
     print(f"{name:>14s}  k={k} n={n} tk={tk} tn={tn} m={m}: "
-          f"{gbps:7.1f} GB/s  {elems:7.1f} G elem/s  ({dt:.3f}s)")
+          f"{gbps:7.1f} GB/s  {elems:7.1f} G elem/s  ({dt:.3f}s/sweep)")
     return gbps
 
 
 def correctness(name, kern, opts, k=512, n=512, m=8):
     """Check the variant against the jnp dequant path."""
-    if name in ("decode_only", "dma_only"):
+    if name in ("decode_only", "dma_only", "w16dot"):
         return
     from llamago_tpu.ops import quant
     fmt = opts.get("fmt", "q4")
-    qkey = "q8" if fmt == "q8" else "q4"
+    qkey = {"q8": "q8", "w16": "q16"}.get(fmt, "q4")
     key = jax.random.PRNGKey(1)
     w = jax.random.normal(key, (k, n), jnp.float32)
     qw = quant.quantize(w, 8 if fmt == "q8" else 4)
@@ -547,22 +783,8 @@ def correctness(name, kern, opts, k=512, n=512, m=8):
         out = x.astype(jnp.float32) @ w
         tol = 2e-2
     else:
-        kw = dict(tk=tk, tn=tn)
-        if opts.get("needs_tm"):
-            kw["tm"] = tm
-        q_rows = tk if fmt in ("i4", "q8") else tk // 2
-        out = pl.pallas_call(
-            functools.partial(kern, **kw),
-            grid=(n // tn, k // tk),
-            in_specs=[
-                pl.BlockSpec((tm, tk), lambda ni, ki: (0, ki), memory_space=pltpu.VMEM),
-                pl.BlockSpec((q_rows, tn), lambda ni, ki: (ki, ni), memory_space=pltpu.VMEM),
-                pl.BlockSpec((tk // QK, tn), lambda ni, ki: (ki, ni), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((tm, tn), lambda ni, ki: (0, ni), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((tm, n), jnp.float32),
-            interpret=jax.default_backend() != "tpu",
-        )(x, qw[qkey], qw["s"])
+        call, ops_of = make_call(kern, opts, k, n, tm, tk, tn, fmt)
+        out = call(*ops_of(x, qw, qkey))
         # a8 variants quantize activations too: widen the tolerance to
         # the activation-quantization error bound
         tol = 5e-2 if "a8" in name else 2e-2
@@ -584,15 +806,34 @@ if __name__ == "__main__":
         n=int(os.environ.get("LAB_N", 7168)),
         m=int(os.environ.get("LAB_M", 8)),
         layers=int(os.environ.get("LAB_LAYERS", 24)),
+        steps=int(os.environ.get("LAB_STEPS", 8)),
+        reps=int(os.environ.get("LAB_REPS", 8)),
     )
     if os.environ.get("LAB_TK"):
         shape["tk"] = int(os.environ["LAB_TK"])
     if os.environ.get("LAB_TN"):
         shape["tn"] = int(os.environ["LAB_TN"])
     print(f"backend={jax.default_backend()} dev={jax.devices()[0].device_kind}")
+    # A variant that interpret-verifies can still be rejected by Mosaic on
+    # real hardware (e.g. an unsupported vector shape cast) — keep sweeping.
+    bad = set()
     for nm in names:
         kern, opts = VARIANTS[nm]
-        correctness(nm, kern, opts)
+        try:
+            correctness(nm, kern, opts)
+        except Exception as e:
+            print(f"{nm:>14s}  SKIP (compile/correctness failed: "
+                  f"{(str(e).splitlines() or [repr(e)])[0][:100]})")
+            bad.add(nm)
     for nm in names:
+        if nm in bad:
+            continue
         kern, opts = VARIANTS[nm]
-        run_variant(nm, kern, opts, **shape)
+        try:
+            run_variant(nm, kern, opts, **shape)
+        except Exception as e:
+            if os.environ.get("LAB_VERBOSE"):
+                print(f"{nm:>14s}  SKIP (bench failed):\n{e}")
+            else:
+                print(f"{nm:>14s}  SKIP (bench failed: "
+                      f"{(str(e).splitlines() or [repr(e)])[0][:100]})")
