@@ -67,6 +67,29 @@ def _tile_k(k: int) -> int | None:
 # Scoped VMEM is 16 MB; leave headroom for Mosaic's own temporaries.
 _VMEM_BUDGET = 14 * 1024 * 1024
 
+# Decode-path tile bounds, measured on v5e (scripts/shape_sweep.py):
+# rate rises monotonically with tn at fixed tk for EVERY production
+# shape, and tk=256 matches or beats larger tk once tn is maxed (the
+# whole [tm, n] output is then written exactly once per k-pass).
+# tn<=8192 with tk<=512 is the validated compile envelope (the int4
+# kernel's f32 dequant tile materializes at tk*tn*4 bytes; 16.8 MB
+# compiled, 29.4 MB did not).
+_DECODE_TN_CAP = 8192
+_DECODE_TK = 256
+# A/B escape hatch: set LLAMAGO_DECODE_TILES=0 to force the generic
+# VMEM-modeled rungs for decode shapes too.
+_DECODE_TILES = _os.environ.get("LLAMAGO_DECODE_TILES", "1") == "1"
+
+
+def _aligned_divisors_desc(n: int, cap: int = _DECODE_TN_CAP):
+    """Lane-aligned (128) divisors of n, largest first, capped."""
+    t = min(n, cap)
+    t -= t % 128
+    while t >= 128:
+        if n % t == 0:
+            yield t
+        t -= 128
+
 
 def _plan_tiles(m: int, k: int, n: int, bits: int) -> tuple[int, int] | None:
     """Joint (tk, tn) choice under a VMEM model of the kernel's real
@@ -78,10 +101,21 @@ def _plan_tiles(m: int, k: int, n: int, bits: int) -> tuple[int, int] | None:
     prefill at tn=2048 measured 16.5 MB of scoped-VMEM stack, past the
     16 MB hardware limit. The model below reproduces that failure and
     clears at tn=1024 for the same shape."""
+    tm = max(8, m)
+    if tm <= 32 and _DECODE_TILES:
+        # Decode fast path: full-width tn + small tk, swept on v5e over
+        # the 7B/13B/70B-shard production shapes (+5..26% over the
+        # generic rungs; int8 w13-shard 363 -> 393 GB/s, int4 attn
+        # 144 -> 181 GB/s). tk=256: 512 tied within 1.5% everywhere
+        # except one measured 30% regression at the 7B attn shape
+        # (tk=512, tn=4096), and any k divisible by 512 is divisible
+        # by 256 anyway.
+        if k % _DECODE_TK == 0:
+            for tn in _aligned_divisors_desc(n):
+                return _DECODE_TK, tn
     tk = _tile_k(k)
     if tk is None:
         return None
-    tm = max(8, m)
     # 1280/640 are lane-aligned (128) non-power-of-2 rungs: a 32000-wide
     # lm head is not divisible by any power of two above 256, and tn=256
     # reads only 256 contiguous bytes per weight row (~440 GB/s measured

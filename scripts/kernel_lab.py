@@ -648,6 +648,11 @@ def make_call(kern, opts, k, n, m, tk, tn, fmt):
         ),
         interpret=jax.default_backend() != "tpu",
     )
+    import os as _labos
+    if _labos.environ.get("LAB_DIMSEM"):
+        # n-tiles are independent; k accumulates into the same out tile.
+        common["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"))
     half = QK // 2
     if hoist == "split":
         xspec = pl.BlockSpec((tm, tk // 2), lambda ni, ki: (0, ki),

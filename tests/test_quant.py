@@ -149,9 +149,15 @@ def test_quantized_params_end_to_end_decode(tiny_config):
 
 
 def test_plan_tiles_lane_aligned_non_pow2():
-    """32000-wide lm head tiles at tn=1280 (128-lane-aligned divisor),
-    not the 256 fallback — 5x the DMA burst per weight row."""
-    assert kernels._plan_tiles(8, 4096, 32000, 8) == (1024, 1280)
+    """Decode shapes tile at full lane-aligned width (tn=6400 for the
+    32000-wide lm head, the largest 128-aligned divisor under the cap)
+    with tk=256 — the swept v5e winner; prefill falls back to the
+    VMEM-modeled rungs."""
+    assert kernels._plan_tiles(8, 4096, 32000, 8) == (256, 6400)
+    assert kernels._plan_tiles(8, 4096, 4096, 4) == (256, 4096)
+    assert kernels._plan_tiles(8, 8192, 7168, 4) == (256, 7168)
+    # prefill (m > 32) keeps the VMEM-modeled generic path
+    assert kernels._plan_tiles(512, 4096, 32000, 8) == (1024, 1280)
     # and the kernel is numerically right at a 640-divisible width
     k, n, m = 128, 640, 4
     w = jnp.asarray(rnd((k, n), seed=8, scale=0.1))
