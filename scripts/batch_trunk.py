@@ -123,9 +123,9 @@ def build(config, params):
         gate = jax.nn.silu(gate.astype(jnp.float32)).astype(h.dtype)
         return x + linear(gate * up, lp["w2"])
 
-    def lmhead(x, _lp=None):
-        h = rms_norm(x, params["norm"], config.norm_eps)
-        logits = linear(h[:, -1, :], params["output"],
+    def lmhead(x, lp):
+        h = rms_norm(x, lp["norm"], config.norm_eps)
+        logits = linear(h[:, -1, :], lp["output"],
                         compute_dtype=x.dtype).astype(jnp.float32)
         tok = jnp.argmax(logits, -1)
         return x + (tok[:, None, None] % 3).astype(x.dtype) * 1e-6
@@ -145,32 +145,36 @@ def build(config, params):
 
 def time_component(name, fn, per_layer, params, config, b, steps):
     d = config.dim
-    layers = params["layers"]
+    layers = (params["layers"] if per_layer
+              else {"norm": params["norm"], "output": params["output"]})
     dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
 
-    def one_step(x):
+    # layers MUST be a jit argument: closing over the params list embeds
+    # ~7 GB of weights as compile-time constants (device copies + glacial
+    # lowering — observed 6.88 GB captured-constants warning).
+    def one_step(x, lys):
         if per_layer:
-            for lp in layers:
+            for lp in lys:
                 o = fn(x, lp)
                 x = (x + o[..., :d] * 1e-3).astype(dtype)
         else:
-            x = fn(x).astype(dtype)
+            x = fn(x, lys).astype(dtype)
         return x
 
     @jax.jit
-    def run(x):
+    def run(x, lys):
         def body(x, _):
-            return one_step(x), None
+            return one_step(x, lys), None
         x, _ = jax.lax.scan(body, x, None, length=steps)
         return x
 
     x0 = jnp.ones((b, 1, d), dtype)
-    x = run(x0)
+    x = run(x0, layers)
     _sync(x)
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
-        x = run(x)
+        x = run(x, layers)
         _sync(x)
         best = min(best, (time.time() - t0) / steps)
     return best * 1e3  # ms/step
