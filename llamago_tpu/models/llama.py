@@ -36,18 +36,39 @@ from llamago_tpu.ops.attention import (
 from llamago_tpu.ops.basic import apply_rope, linear, rms_norm, swiglu
 from llamago_tpu.runtime.kv_cache import KVCache
 
+# Elimination probes for perf bisection (scripts/batch_trunk.py): bypass
+# the KV-cache writes / the attention reads while preserving the data
+# dependences, so the rest of the step is timed unchanged. Measurement
+# aids only — NEVER set in production.
+import os as _os
+
+_BYPASS_CACHE = _os.environ.get("LLAMAGO_BYPASS_CACHE", "0") == "1"
+_BYPASS_ATTN = _os.environ.get("LLAMAGO_BYPASS_ATTN", "0") == "1"
+
 NEG_INF = float("-inf")
 
 
 def _update_cache(cache_layer: jnp.ndarray, new: jnp.ndarray, write_pos: jnp.ndarray):
-    """Write new [B, T, KV, hd] into cache [B, KV, S, hd] at per-batch offsets."""
+    """Write new [B, T, KV, hd] into cache [B, KV, S, hd] at per-batch offsets.
+
+    Unrolled over batch rows: a vmapped dynamic_update_slice with
+    per-batch start offsets lowers to a scatter, which costs ~4 ms/step
+    at 7B decode for any b >= 2 (measured, scripts/batch_trunk.py — the
+    whole batch-scaling anomaly). Per-row updates with a STATIC batch
+    index and one dynamic seq offset stay in-place aliased; decode
+    batches are small (<= pods) so the unroll is bounded."""
     new = new.transpose(0, 2, 1, 3)  # [B, KV, T, hd]; T is small, cheap
-
-    def upd(c, n, p):  # c: [KV, S, hd], n: [KV, T, hd], p: scalar
-        zero = jnp.zeros((), p.dtype)
-        return jax.lax.dynamic_update_slice(c, n, (zero, p, zero))
-
-    return jax.vmap(upd)(cache_layer, new, write_pos)
+    b = cache_layer.shape[0]
+    zero = jnp.zeros((), write_pos.dtype)
+    if b == 1:
+        return jax.lax.dynamic_update_slice(
+            cache_layer, new, (zero, zero, write_pos[0], zero))
+    out = cache_layer
+    for i in range(b):
+        out = jax.lax.dynamic_update_slice(
+            out, new[i : i + 1], (jnp.asarray(i, write_pos.dtype), zero,
+                                  write_pos[i], zero))
+    return out
 
 
 def _attention(
@@ -155,10 +176,15 @@ def forward_impl(
         q = apply_rope(q, positions, config.rope_theta)
         k = apply_rope(k, positions, config.rope_theta)
 
-        k_layer = _update_cache(k_layer, k.astype(k_layer.dtype), write_pos)
-        v_layer = _update_cache(v_layer, v.astype(v_layer.dtype), write_pos)
+        if not _BYPASS_CACHE:  # elimination probe, see module foot
+            k_layer = _update_cache(k_layer, k.astype(k_layer.dtype), write_pos)
+            v_layer = _update_cache(v_layer, v.astype(v_layer.dtype), write_pos)
 
-        attn = _attention(config, q, k_layer, v_layer, positions)
+        if _BYPASS_ATTN:  # data-dependence-preserving stand-in
+            attn = (q + jnp.pad(k, [(0, 0)] * 2 + [(0, config.n_heads
+                    - config.kv_heads), (0, 0)])).reshape(b, t, q_dim)
+        else:
+            attn = _attention(config, q, k_layer, v_layer, positions)
         x = x + linear(attn, lp["wo"], tp_kind=kinds.get("wo"))
 
         # --- FFN (reference: llama.go:340-369)

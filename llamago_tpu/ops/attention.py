@@ -55,26 +55,27 @@ NEG_INF = float("-inf")
 _KV_BYTES_MAX = 2 * 1024 * 1024  # single-buffer K+V per program
 _SCORE_BYTES_MAX = 4 * 1024 * 1024
 
-# Engagement floors, RE-DERIVED on v5e by in-model A/B (bench.py and a
-# steady-state prefill timer, using the env overrides below) rather than
-# dispatch-cost guesses. Measured, kernel forced ON vs the jnp path,
-# 7B int8:
+# Engagement floors, re-derived on v5e by in-model A/B (bench.py with
+# the env overrides below) rather than dispatch-cost guesses.
 #
-#   decode  b=1 ctx=1024 (17 MB K/V per call):   53.0 vs 67.4 tok/s
-#   decode  b=8 ctx=1024 (134 MB K/V per call): 225.6 vs 262.9 tok/s
-#   prefill bucket 64 (serving TTFT p50):        234 vs 189 ms
-#   prefill T=512 b=1 (268 MB of f32 scores):  148.5 vs 138.0 ms
-#
-# XLA's native attention lowering wins at EVERY measured shape on this
-# chip/compiler generation — its fused softmax+matmul pipeline never
-# materializes the scores the way a naive einsum reading would suggest.
-# The defaults therefore keep the kernel OFF in production shapes; it
-# stays fully tested (interpret-mode suite ignores floors) and one env
-# var away for re-derivation on hardware where the balance differs:
-# LLAMAGO_ATTN_DECODE_FLOOR / LLAMAGO_ATTN_PREFILL_FLOOR, in bytes.
+# r3 re-derivation (7B int8 decode, kernel ON vs the XLA einsum path,
+# same-day pairs): the kernel now wins at EVERY decode shape measured —
+# b=1 ctx=1024: 73.3 vs 71.7 tok/s; b=1 ctx=2048: 68.1 vs 47.8 (+42%);
+# b=2 ctx=1024: 103.3 vs 92.3; b=2 ctx=2048: 98.3 vs 59.1 (+66%);
+# b=2 ctx=512: 105.4 vs 100.3. The XLA path's cache reads run at ~20-25%
+# of HBM bandwidth and scale badly with S and batch — this WAS the
+# "batch-scaling anomaly" (docs/QUANTIZATION.md). An earlier r2-era A/B
+# measured the opposite (53.0 vs 67.4 at b=1 ctx=1024) and gated the
+# kernel off; that result did not reproduce on re-measurement.
+# DEFAULT: kernel ON for decode (floor 0). Prefill measured NON-MONOTONE
+# on r3 re-derivation (kernel vs XLA, ms, lower better): T=64 S=1024
+# 83.5 vs 86.2; T=128 S=2048 111.5 vs 90.1 (kernel loses 24%); T=512
+# S=4096 132.9 vs 146.6 (kernel wins 10%) — no clean traffic threshold,
+# so prefill keeps the XLA path by default. Overrides (bytes):
+# LLAMAGO_ATTN_DECODE_FLOOR / LLAMAGO_ATTN_PREFILL_FLOOR.
 _GB = 1024 * 1024 * 1024
 _MIN_DECODE_TRAFFIC = int(_os.environ.get(
-    "LLAMAGO_ATTN_DECODE_FLOOR", 1024 * _GB))
+    "LLAMAGO_ATTN_DECODE_FLOOR", 0))
 _MIN_PREFILL_SCORES = int(_os.environ.get(
     "LLAMAGO_ATTN_PREFILL_FLOOR", 1024 * _GB))
 
