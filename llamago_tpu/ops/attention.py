@@ -117,10 +117,17 @@ def can_fuse_attention_local(q: jnp.ndarray, k_cache: jnp.ndarray) -> bool:
     if _k._on_tpu() and (hd % 128 != 0 or s % 8 != 0):
         return False
     if _k._on_tpu() and not _k.FORCE_INTERPRET:
+        # Decode-shaped calls (t <= 32: single-token decode and
+        # speculative verify windows) gate on cache traffic; prefill
+        # (t > 32) gates on score bytes. The floors are separate
+        # because the measured balance differs (see derivation above):
+        # the kernel wins every decode shape but loses some prefills.
         cache_traffic = 2 * b * kv * s * hd * k_cache.dtype.itemsize
         score_bytes = 4 * b * kv * g * t * s
-        if (cache_traffic < _MIN_DECODE_TRAFFIC
-                and score_bytes < _MIN_PREFILL_SCORES):
+        if t <= 32:
+            if cache_traffic < _MIN_DECODE_TRAFFIC:
+                return False
+        elif score_bytes < _MIN_PREFILL_SCORES:
             return False
     kh, tb = _tiles(t, g, kv, s, hd, k_cache.dtype.itemsize)
     return kh is not None

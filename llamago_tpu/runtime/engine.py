@@ -41,6 +41,12 @@ from llamago_tpu.models.llama import forward, prefill_into_slot
 from llamago_tpu.ops.sampling import SamplerState, push_tokens, reset_slots, sample
 from llamago_tpu.runtime.kv_cache import KVCache
 from llamago_tpu.tokenizer import EOS_TOKEN, Vocab, detokenize, tokenize
+
+# Debug trace for the speculative gate (perf bisection aid): prints the
+# per-engine-step spec/chunked decision with acceptance EMAs.
+import os as _os
+
+_SPEC_DEBUG = _os.environ.get("LLAMAGO_SPEC_DEBUG", "0") == "1"
 from llamago_tpu.utils import debug as _dbg
 
 
@@ -366,9 +372,14 @@ class Engine:
         slot.job = job
         slot.history = list(ids)
         slot.remaining = gen.max_tokens
-        # new request: optimistic acceptance so speculation gets re-tried
-        # (its text may be repetitive even if the last tenant's wasn't)
-        self.spec_accept_ema[slot_idx] = float(self.draft_len)
+        # New tenants INHERIT the slot's acceptance EMA rather than
+        # resetting to the optimistic prior: with jobs churning over busy
+        # slots, a per-admission reset forced a speculative burst at the
+        # start of every job, and those bursts (2 host syncs each on a
+        # tunneled transport) held served throughput at ~87 vs 174 tok/s
+        # chunked (measured). The periodic 1-step probes in _spec_steps
+        # re-open the gate within one probe interval when the traffic
+        # actually is repetitive.
         slot.swap_point = None
         slot.pos = reuse                 # prefill cursor
         slot.pending = list(ids[reuse:])  # absorbed chunk-by-chunk in step()
@@ -616,11 +627,24 @@ class Engine:
                 self._maybe_context_swap(i)
 
         n_spec = self._spec_steps(active, temp)
+        if _SPEC_DEBUG and self.speculative:
+            emas = [round(float(self.spec_accept_ema[i]), 2)
+                    for i in range(self.n_slots)]
+            print(f"[spec] t={time.time():.3f} n_spec={n_spec}"
+                  f" active={active.astype(int).tolist()}"
+                  f" ema={emas} probe_cd={self._spec_probe_countdown}",
+                  flush=True)
         if n_spec > 0:
             self._decode_speculative(active, n_spec)
+            if _SPEC_DEBUG:
+                print(f"[spec] t={time.time():.3f} spec dispatch done",
+                      flush=True)
             return True
 
         n_chunk = self._chunkable(active)
+        if _SPEC_DEBUG and self.speculative:
+            print(f"[spec] t={time.time():.3f} -> chunked n={n_chunk}",
+                  flush=True)
         if n_chunk > 1:
             self._decode_chunked(active, n_chunk, temp, top_k, top_p, rp)
             return True
@@ -666,7 +690,16 @@ class Engine:
         probing = False
         emas = [self.spec_accept_ema[i] for i in range(self.n_slots)
                 if active[i]]
-        if emas and max(emas) < self.spec_gate_threshold:
+        # Occupancy-aware threshold: chunked decode emits n_active tokens
+        # per weight stream with ONE host sync per 32 steps, while every
+        # speculative dispatch pays ~2 device->host syncs (~40-80 ms each
+        # on tunneled transports) plus the restore forward. Measured on
+        # this workload (4 slots, acceptance EMA ~2.4): spec steady-state
+        # 211 tok/s vs chunked 233 — so at high occupancy speculation
+        # must clear a proportionally higher bar, while a lone greedy
+        # tenant keeps the 1.5 floor (spec wins 208 vs 72 tok/s at b=1).
+        thresh = max(self.spec_gate_threshold, 0.875 * float(len(emas)))
+        if emas and max(emas) < thresh:
             if self._spec_probe_countdown > 0:
                 self._spec_probe_countdown -= 1
                 return 0
@@ -684,11 +717,17 @@ class Engine:
             rem_max = max(rem_max, slot.remaining)
         if probing:
             allowed = min(allowed, 1)
-        # bound by the token budget too: at FULL acceptance a step emits
-        # per_step tokens, so more than ceil(rem/per_step) steps can only
-        # overshoot — every overshot step still streams all the weights
-        # (measured 4x wasted reads at predict=64 with 32-step chunks)
-        allowed = min(allowed, max(1, -(-rem_max // per_step)))
+        # bound by the token budget using the EXPECTED per-step emission
+        # (1 + acceptance EMA), not full acceptance: clamping by
+        # ceil(rem/per_step) assumed every draft lands, which shrank the
+        # rungs to 1-2 steps for most of a job's life at the measured
+        # ~2.4-token acceptance — each tiny dispatch pays a host sync
+        # (~40-80 ms on tunneled transports), collapsing served spec
+        # throughput (traced: 8/4/4/2/1 rungs for a 64-token budget).
+        # Overshoot is bounded and trimmed on the host exactly like
+        # chunked decode's (_decode_chunked).
+        expected = 1.0 + max(float(np.mean(emas)) if emas else 0.0, 0.0)
+        allowed = min(allowed, max(1, -(-rem_max // max(int(expected), 1))))
         if allowed < 1:
             return 0
         # largest warmed ladder rung that fits (each distinct n_steps is
@@ -727,6 +766,10 @@ class Engine:
         # last emitted token (mirrors _decode_chunked's final forward)
         toks_h = _host(toks)
         counts_h = _host(counts)
+        # one staged copy for the positions too: per-element device
+        # indexing (int(pos_out[i])) lowers through tiny per-shape XLA
+        # helper programs that stall on first use over remote transports
+        pos_h = _host(pos_out)
         last = np.zeros((self.n_slots, 1), np.int32)
         for i in range(self.n_slots):
             if active[i]:
@@ -761,7 +804,7 @@ class Engine:
             # self.logits[i] is its successor distribution — the engine's
             # steady-state invariant. Truncation (EOS / budget) always
             # finishes the job below, so the stale logits never get used.
-            slot.pos = int(pos_out[i]) + 1
+            slot.pos = int(pos_h[i]) + 1
             if kept:
                 job.eval_ms.extend([dt_ms / len(kept)] * len(kept))
             done = self._publish_output(job) or slot.remaining <= 0 or (
@@ -952,13 +995,22 @@ class Engine:
             hist = jnp.zeros((self.n_slots, self.config.max_seq_len), jnp.int32)
             hlen = jnp.ones(self.n_slots, jnp.int32)
             for n_steps in spec_rungs:
-                toks, _, self.cache, _, hist, hlen = speculative_decode_chunk(
-                    self.params, jnp.zeros(self.n_slots, jnp.int32),
-                    self.cache, jnp.zeros(self.n_slots, jnp.int32),
-                    hist, hlen, self.config,
-                    n_steps=n_steps, draft_len=self.draft_len,
-                )
+                toks, counts, self.cache, pos_out, hist, hlen = (
+                    speculative_decode_chunk(
+                        self.params, jnp.zeros(self.n_slots, jnp.int32),
+                        self.cache, jnp.zeros(self.n_slots, jnp.int32),
+                        hist, hlen, self.config,
+                        n_steps=n_steps, draft_len=self.draft_len,
+                    ))
+                # mirror _decode_speculative's EXACT host-side access
+                # pattern: every device->host helper (ravel per counts
+                # shape, the pos copy) is its own tiny XLA program, and an
+                # unwarmed one costs 0.4-1.0 s to compile on remote-compile
+                # transports — measured as a per-rung first-use stall that
+                # held served speculative throughput at ~87 tok/s.
                 _host(toks)
+                _host(counts)
+                _host(pos_out)
         # honest sync: block_until_ready does not reliably wait under
         # tunneled TPU transports — a >=1-element device-to-host copy does
         # (same pattern as _host; without this, warmup "finishes" while

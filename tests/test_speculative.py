@@ -214,11 +214,14 @@ def test_spec_gate_yields_to_chunked_on_low_acceptance(setup):
     assert eng._spec_steps(active, temp) == 4
 
 
-def test_spec_gate_ema_updates_and_resets_on_admit(setup):
-    """_decode_speculative must feed the EMA; _admit must reset it to the
-    optimistic prior so a new request gets speculation re-tried."""
+def test_spec_gate_ema_updates_and_probes_reopen(setup):
+    """_decode_speculative must feed the EMA. New admissions INHERIT the
+    slot's acceptance EMA (a per-admit optimistic reset forced a
+    speculative burst per job and halved served throughput under churn —
+    see engine._admit); a closed gate re-opens only via the periodic
+    1-step probes when the traffic proves repetitive."""
     from llamago_tpu.config import GenerateConfig
-    from llamago_tpu.runtime.engine import Engine, JobStatus
+    from llamago_tpu.runtime.engine import Engine
 
     from conftest import make_test_vocab
 
@@ -232,11 +235,15 @@ def test_spec_gate_ema_updates_and_resets_on_admit(setup):
     moved = eng.spec_accept_ema[0]
     assert moved != 5.0  # at least one speculative chunk updated it
 
-    # a fresh admission resets the prior even after the gate closed
+    # a fresh admission INHERITS the slot EMA (no optimistic reset) —
+    # with the gate closed, only probe steps may move it, and a probe
+    # that runs feeds the EMA with real acceptance (>= 0)
     eng.spec_accept_ema[0] = 0.0
+    eng._spec_probe_countdown = 2  # force at least one probe this job
     eng.generate("something else entirely", gen)
-    # ran again (reset to 5.0 at admit, then updated by decode)
-    assert eng.spec_accept_ema[0] != 0.0
+    ema = float(eng.spec_accept_ema[0])
+    assert ema >= 0.0  # inherited-then-probed, never reset to draft_len
+    assert ema < 5.0
 
 
 def test_engine_speculative_with_context_swap(setup):
