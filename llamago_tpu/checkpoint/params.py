@@ -341,10 +341,14 @@ def random_quantized_parameters(
                 else mat(k, (layers, *s)))
             for k, s in layer_shapes.items()
         }
+    from llamago_tpu.ops.quant import pad_lm_head
+
     return {
         "tok_embeddings": dense(next(key_iter), (v, d)),
         "norm": dense(next(key_iter), (d,)),
-        "output": mat("output", (d, v)),
+        # stride-align the int8 lm head (ops/quant.py pad_lm_head) —
+        # single-chip layout, matching quantize_params' loader path
+        "output": pad_lm_head(mat("output", (d, v))),
         "layers": layer_leaves,
     }
 

@@ -39,6 +39,40 @@ QK = 32  # block size (reference: pkg/ml/ml.go:24)
 # norms stay in the compute dtype, standard weight-only practice)
 QUANT_LEAVES = {"wq", "wk", "wv", "wo", "w1", "w2", "w3", "output"}
 
+# LM-head column padding (int8 only). A [K, N] int8 weight whose row
+# stride (N bytes) is not 512-aligned streams dramatically slower on
+# v5e: the 32000-wide LLaMA head measured ~206 GB/s vs ~370-390 for
+# every 512-aligned production width (scripts/shape_sweep.py). Padding
+# N up to a 4096 multiple restores alignment (and keeps the column dim
+# divisible under tensor-parallel vocab sharding up to tp=32); the pad
+# columns quantize to scale 0 so they dequantize to exactly 0, and
+# forward_impl slices logits back to vocab_size before any consumer.
+LM_HEAD_PAD = 4096
+_LM_HEAD_PAD_MAX_OVERHEAD = 0.05  # skip if padding adds >5% columns
+
+
+def lm_head_pad_cols(n: int) -> int:
+    """Padded column count for an int8 lm head (0 = leave unpadded)."""
+    pad = (-n) % LM_HEAD_PAD
+    if pad == 0 or pad > n * _LM_HEAD_PAD_MAX_OVERHEAD:
+        return 0
+    return pad
+
+
+def pad_lm_head(leaf):
+    """Column-pad a Q8_0 leaf to the aligned width (no-op otherwise).
+    Dense (bf16/f32) heads already have 512-aligned strides at LLaMA
+    vocab widths, and int4 is VPU-rate bound, so only q8 pays."""
+    if not (is_quantized(leaf) and "q8" in leaf and "m" not in leaf):
+        return leaf
+    pad = lm_head_pad_cols(leaf["q8"].shape[-1])
+    if not pad:
+        return leaf
+    return {
+        "q8": jnp.pad(leaf["q8"], ((0, 0), (0, pad))),
+        "s": jnp.pad(leaf["s"], ((0, 0), (0, pad))),
+    }
+
 
 def is_quantized(w) -> bool:
     return isinstance(w, dict) and "s" in w and ("q8" in w or "q4" in w)
@@ -169,7 +203,18 @@ def quantize_params(config: ModelConfig, params, shardings=None):
 
     out = {"layers": {}}
     for key in ("tok_embeddings", "norm", "output"):
-        out[key] = handle(key, params[key], shard_of(shardings, key))
+        leaf = params[key]
+        if key == "output" and shardings is None:
+            # stride-align the int8 lm head (see pad_lm_head). Under a
+            # mesh the leaf is about to shard on the vocab dim — the
+            # shard spec was built for the UNPADDED width, so padding
+            # is applied only on the single-chip path.
+            if is_quantized(leaf):
+                leaf = pad_lm_head({k: jnp.asarray(v) for k, v in leaf.items()})
+            elif (key in QUANT_LEAVES and np.shape(leaf)[-2] % QK == 0
+                  and bits == 8):
+                leaf = pad_lm_head(quantize(jnp.asarray(leaf, dtype), bits))
+        out[key] = handle(key, leaf, shard_of(shardings, key))
     lsh = None if shardings is None else shardings["layers"]
     for key, leaf in params["layers"].items():
         out["layers"][key] = handle(key, leaf, None if lsh is None else lsh[key])
