@@ -150,7 +150,11 @@ def forward_impl(
 
     positions = write_pos[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]  # [B, T]
 
-    # Embedding lookup (reference: GetRows, llama.go:244).
+    # Embedding lookup (reference: GetRows, llama.go:244). NOTE
+    # (negative result, measured): replacing this gather with per-row
+    # dynamic slices at decode changed nothing at b=1 and lost ~2% at
+    # b=2 — the batched-decode step-cost growth is the serial
+    # token->embed->...->argmax dependence, not the gather's lowering.
     x = params["tok_embeddings"][tokens].astype(dtype)  # [B, T, D]
 
     q_dim = config.n_heads * config.head_dim
