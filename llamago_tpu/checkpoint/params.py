@@ -252,6 +252,12 @@ def random_parameters(
         name = path.rsplit("/", 1)[-1]
         if quant_bits is not None and name in QUANT_LEAVES:
             leaf = quantize(leaf, quant_bits)
+            if name == "output" and shardings is None:
+                # stride-align the int8 lm head, same policy as
+                # quantize_params / random_quantized_parameters
+                from llamago_tpu.ops.quant import pad_lm_head
+
+                leaf = pad_lm_head(leaf, vocab_size=v)
         out_leaves.append(leaf)
     params = treedef.unflatten(out_leaves)
     if shardings is not None:
@@ -348,7 +354,7 @@ def random_quantized_parameters(
         "norm": dense(next(key_iter), (d,)),
         # stride-align the int8 lm head (ops/quant.py pad_lm_head) —
         # single-chip layout, matching quantize_params' loader path
-        "output": pad_lm_head(mat("output", (d, v))),
+        "output": pad_lm_head(mat("output", (d, v)), vocab_size=v),
         "layers": layer_leaves,
     }
 

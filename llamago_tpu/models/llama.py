@@ -244,8 +244,13 @@ def forward_impl(
     # stride (ops/quant.py pad_lm_head: 32000 -> 32768 streams ~80%
     # faster on v5e). Slice BEFORE anything consumes logits: the pad
     # columns dequantize to exactly 0, which would beat negative real
-    # logits under argmax.
-    if logits.shape[-1] != config.vocab_size:
+    # logits under argmax. Slice ONLY the width pad_lm_head produces —
+    # converted checkpoints can legitimately carry more head columns
+    # than the header vocab, and those logits must survive.
+    from llamago_tpu.ops.quant import lm_head_padded_cols
+
+    if (logits.shape[-1] != config.vocab_size
+            and logits.shape[-1] == lm_head_padded_cols(config.vocab_size)):
         logits = logits[..., : config.vocab_size]
 
     if return_embedding:

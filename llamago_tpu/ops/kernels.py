@@ -102,7 +102,12 @@ def _plan_tiles(m: int, k: int, n: int, bits: int) -> tuple[int, int] | None:
     16 MB hardware limit. The model below reproduces that failure and
     clears at tn=1024 for the same shape."""
     tm = max(8, m)
-    if tm <= 32 and _DECODE_TILES:
+    # tm <= 16, not 32: the tile sweep only covered m=8, and at m=16 the
+    # fast path measurably wins (16-token prefill bucket: 86.0 -> 67.7
+    # ms). At m=32 repeated A/Bs are indistinguishable from run noise
+    # (63-90 ms spread for identical configs), so unswept shapes keep
+    # the VMEM-modeled rungs.
+    if tm <= 16 and _DECODE_TILES:
         # Decode fast path: full-width tn + small tk, swept on v5e over
         # the 7B/13B/70B-shard production shapes (+5..26% over the
         # generic rungs; int8 w13-shard 363 -> 393 GB/s, int4 attn

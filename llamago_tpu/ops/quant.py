@@ -59,19 +59,35 @@ def lm_head_pad_cols(n: int) -> int:
     return pad
 
 
-def pad_lm_head(leaf):
+def pad_lm_head(leaf, vocab_size: int | None = None):
     """Column-pad a Q8_0 leaf to the aligned width (no-op otherwise).
     Dense (bf16/f32) heads already have 512-aligned strides at LLaMA
-    vocab widths, and int4 is VPU-rate bound, so only q8 pays."""
+    vocab widths, and int4 is VPU-rate bound, so only q8 pays.
+
+    When `vocab_size` is given, pad ONLY a head whose width equals it:
+    checkpoints can legitimately carry more head columns than the
+    header vocab (HF conversions whose tokenizer piece count trails the
+    weight width) and those extra logits must stay addressable — the
+    forward pass slices to `lm_head_padded_cols(vocab_size)` and the
+    pad/slice decisions must agree exactly."""
     if not (is_quantized(leaf) and "q8" in leaf and "m" not in leaf):
         return leaf
-    pad = lm_head_pad_cols(leaf["q8"].shape[-1])
+    n = leaf["q8"].shape[-1]
+    if vocab_size is not None and n != vocab_size:
+        return leaf
+    pad = lm_head_pad_cols(n)
     if not pad:
         return leaf
     return {
         "q8": jnp.pad(leaf["q8"], ((0, 0), (0, pad))),
         "s": jnp.pad(leaf["s"], ((0, 0), (0, pad))),
     }
+
+
+def lm_head_padded_cols(vocab_size: int) -> int:
+    """The width pad_lm_head produces for a vocab_size-wide head — the
+    ONLY head width forward_impl may slice back down (models/llama.py)."""
+    return vocab_size + lm_head_pad_cols(vocab_size)
 
 
 def is_quantized(w) -> bool:
@@ -208,12 +224,17 @@ def quantize_params(config: ModelConfig, params, shardings=None):
             # stride-align the int8 lm head (see pad_lm_head). Under a
             # mesh the leaf is about to shard on the vocab dim — the
             # shard spec was built for the UNPADDED width, so padding
-            # is applied only on the single-chip path.
+            # is applied only on the single-chip path. Heads wider than
+            # the header vocab (legit in converted checkpoints) are
+            # left alone — pad and forward-slice must agree.
+            v = config.vocab_size
             if is_quantized(leaf):
-                leaf = pad_lm_head({k: jnp.asarray(v) for k, v in leaf.items()})
+                leaf = pad_lm_head({k: jnp.asarray(v_) for k, v_ in leaf.items()},
+                                   vocab_size=v)
             elif (key in QUANT_LEAVES and np.shape(leaf)[-2] % QK == 0
                   and bits == 8):
-                leaf = pad_lm_head(quantize(jnp.asarray(leaf, dtype), bits))
+                leaf = pad_lm_head(quantize(jnp.asarray(leaf, dtype), bits),
+                                   vocab_size=v)
         out[key] = handle(key, leaf, shard_of(shardings, key))
     lsh = None if shardings is None else shardings["layers"]
     for key, leaf in params["layers"].items():

@@ -236,14 +236,23 @@ def test_spec_gate_ema_updates_and_probes_reopen(setup):
     assert moved != 5.0  # at least one speculative chunk updated it
 
     # a fresh admission INHERITS the slot EMA (no optimistic reset) —
-    # with the gate closed, only probe steps may move it, and a probe
-    # that runs feeds the EMA with real acceptance (>= 0)
+    # observe the EMA immediately after _admit runs, where a
+    # reintroduced per-admit reset would show up as draft_len
     eng.spec_accept_ema[0] = 0.0
     eng._spec_probe_countdown = 2  # force at least one probe this job
+    ema_at_admit = []
+    orig_admit = eng._admit
+
+    def spy_admit(slot_idx, job):
+        orig_admit(slot_idx, job)
+        ema_at_admit.append(float(eng.spec_accept_ema[slot_idx]))
+
+    eng._admit = spy_admit
     eng.generate("something else entirely", gen)
+    assert ema_at_admit == [0.0]  # inherited, NOT reset to draft_len
+    # thereafter only probe steps may move it, with real acceptance
     ema = float(eng.spec_accept_ema[0])
-    assert ema >= 0.0  # inherited-then-probed, never reset to draft_len
-    assert ema < 5.0
+    assert 0.0 <= ema < 5.0
 
 
 def test_engine_speculative_with_context_swap(setup):
