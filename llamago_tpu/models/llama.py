@@ -124,6 +124,7 @@ def forward_impl(
     return_all_logits: bool = False,
     logit_index: jnp.ndarray | None = None,  # [B] int32 — per-batch position
     return_embedding: bool = False,
+    remat: bool = False,  # rematerialize per-layer activations (training)
 ):
     """One transformer step (prefill when T>1, decode when T=1).
 
@@ -202,6 +203,13 @@ def forward_impl(
             x = x + swiglu(h, lp["w1"], lp["w2"], lp["w3"], kinds=kinds)
         return x, k_layer, v_layer
 
+    if remat:
+        # Training: rematerialize each layer's activations in the
+        # backward pass instead of keeping them live — a 7B b=4 seq=512
+        # QLoRA step needs 19.8 GB of HBM without this (OOM on a 16 GB
+        # chip) and fits comfortably with it. Inference never pays.
+        block = jax.checkpoint(block)
+
     layers = params["layers"]
     if isinstance(layers, (list, tuple)):
         # Unrolled path: per-layer weight pytrees feed Pallas kernels
@@ -261,7 +269,7 @@ def forward_impl(
 
 forward = partial(jax.jit,
                   static_argnames=("config", "return_all_logits",
-                                   "return_embedding"),
+                                   "return_embedding", "remat"),
                   donate_argnames=("cache",))(forward_impl)
 
 

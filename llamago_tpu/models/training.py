@@ -33,6 +33,7 @@ def loss_fn(params, tokens: jnp.ndarray, config: ModelConfig) -> jnp.ndarray:
         jnp.zeros(b, jnp.int32),
         config,
         return_all_logits=True,
+        remat=True,  # activation rematerialization: 7B QLoRA fits 16 GB
     )
     targets = tokens[:, 1:]
     ce = optax.softmax_cross_entropy_with_integer_labels(
