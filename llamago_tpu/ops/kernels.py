@@ -118,14 +118,14 @@ def _plan_tiles(m: int, k: int, n: int, bits: int) -> tuple[int, int] | None:
         if k % _DECODE_TK == 0:
             for tn in _aligned_divisors_desc(n):
                 return _DECODE_TK, tn
-    if tm > 512:
-        # Training/perplexity-sized calls (m = batch*seq, beyond the
-        # largest prefill bucket): the VMEM model under-counts Mosaic
-        # temporaries at these row counts — a [2048,4096]x[4096,4096]
-        # int8 call compiled to 16.57 MB of scoped VMEM against a 16 MB
-        # limit with an in-model estimate of ~12 MB (measured,
-        # scripts/train_bench.py). These shapes are compute-bound, not
-        # weight-bandwidth-bound, so the XLA dequant path serves them.
+    if tm > 1024:
+        # Training/perplexity-sized calls (m = batch*seq): the VMEM
+        # model under-counts Mosaic temporaries at these row counts —
+        # a [2048,4096]x[4096,4096] int8 call compiled to 16.57 MB of
+        # scoped VMEM against a 16 MB limit with an in-model estimate
+        # of ~12 MB, while m=1024 compiles and runs (both measured on
+        # v5e). Above the measured-safe boundary these compute-bound
+        # shapes take the XLA dequant path instead.
         return None
     tk = _tile_k(k)
     if tk is None:

@@ -69,7 +69,14 @@ def pad_lm_head(leaf, vocab_size: int | None = None):
     header vocab (HF conversions whose tokenizer piece count trails the
     weight width) and those extra logits must stay addressable — the
     forward pass slices to `lm_head_padded_cols(vocab_size)` and the
-    pad/slice decisions must agree exactly."""
+    pad/slice decisions must agree exactly.
+
+    Known ambiguity (accepted): a checkpoint whose REAL head width
+    happens to equal lm_head_padded_cols(header vocab) — e.g. header
+    32000 with a genuinely 32768-wide stored head — gets its tail
+    columns sliced by forward_impl. Those column ids exceed the
+    header's tokenizer size, so no sampler may emit them and no
+    detokenizer could render them; slicing is the defensible reading."""
     if not (is_quantized(leaf) and "q8" in leaf and "m" not in leaf):
         return leaf
     n = leaf["q8"].shape[-1]
@@ -219,23 +226,17 @@ def quantize_params(config: ModelConfig, params, shardings=None):
 
     out = {"layers": {}}
     for key in ("tok_embeddings", "norm", "output"):
-        leaf = params[key]
+        out[key] = handle(key, params[key], shard_of(shardings, key))
         if key == "output" and shardings is None:
-            # stride-align the int8 lm head (see pad_lm_head). Under a
-            # mesh the leaf is about to shard on the vocab dim — the
-            # shard spec was built for the UNPADDED width, so padding
-            # is applied only on the single-chip path. Heads wider than
-            # the header vocab (legit in converted checkpoints) are
-            # left alone — pad and forward-slice must agree.
-            v = config.vocab_size
-            if is_quantized(leaf):
-                leaf = pad_lm_head({k: jnp.asarray(v_) for k, v_ in leaf.items()},
-                                   vocab_size=v)
-            elif (key in QUANT_LEAVES and np.shape(leaf)[-2] % QK == 0
-                  and bits == 8):
-                leaf = pad_lm_head(quantize(jnp.asarray(leaf, dtype), bits),
-                                   vocab_size=v)
-        out[key] = handle(key, leaf, shard_of(shardings, key))
+            # stride-align the int8 lm head (see pad_lm_head), AFTER
+            # handle() so one pad call covers both pre-quantized file
+            # leaves and freshly-quantized dense ones. Under a mesh the
+            # leaf shards on the vocab dim with a spec built for the
+            # UNPADDED width, so padding is single-chip only. Heads
+            # wider than the header vocab (legit in converted
+            # checkpoints) are left alone — pad and forward-slice must
+            # agree (models/llama.py).
+            out[key] = pad_lm_head(out[key], vocab_size=config.vocab_size)
     lsh = None if shardings is None else shardings["layers"]
     for key, leaf in params["layers"].items():
         out["layers"][key] = handle(key, leaf, None if lsh is None else lsh[key])

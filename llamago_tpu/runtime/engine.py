@@ -698,12 +698,16 @@ class Engine:
         # 211 tok/s vs chunked 233 — so at high occupancy speculation
         # must clear a proportionally higher bar, while a lone greedy
         # tenant keeps the 1.5 floor (spec wins 208 vs 72 tok/s at b=1).
-        # Capped at draft_len - 1: the EMA can never exceed draft_len, so
-        # an uncapped 0.875*n_active bar would be unreachable at >= 8
+        # The occupancy term (not the configured floor) is capped at
+        # draft_len - 1: the EMA can never exceed draft_len, so an
+        # uncapped 0.875*n_active bar would be unreachable at >= 8
         # active slots — permanently closing the gate while the periodic
-        # probes keep paying their dispatch cost for nothing.
-        thresh = min(max(self.spec_gate_threshold, 0.875 * float(len(emas))),
-                     float(self.draft_len) - 1.0)
+        # probes keep paying their dispatch cost for nothing. Capping
+        # the WHOLE expression would zero the floor at draft_len=1 and
+        # leave the gate unable to close at all.
+        thresh = max(self.spec_gate_threshold,
+                     min(0.875 * float(len(emas)),
+                         float(self.draft_len) - 1.0))
         if emas and max(emas) < thresh:
             if self._spec_probe_countdown > 0:
                 self._spec_probe_countdown -= 1

@@ -171,3 +171,51 @@ def test_plan_tiles_lane_aligned_non_pow2():
         kernels.FORCE_INTERPRET = False
     ref = jnp.dot(x, dequantize(q))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+def test_lm_head_pad_and_slice_agree(tiny_config):
+    """The int8 lm head pads to an aligned width (vocab 4000 -> 4096)
+    and forward_impl slices logits back, so (a) logits come back
+    vocab-wide, (b) an all-negative real-logit row can never argmax
+    into a zero pad column, (c) padded and unpadded heads agree."""
+    from llamago_tpu.checkpoint.params import host_parameters
+    from llamago_tpu.models.llama import forward
+    from llamago_tpu.ops.quant import lm_head_pad_cols, lm_head_padded_cols
+    from llamago_tpu.runtime.kv_cache import KVCache
+
+    from conftest import random_ggjt_tensors
+
+    vocab = 4000
+    assert lm_head_pad_cols(vocab) == 96
+    assert lm_head_padded_cols(vocab) == 4096
+
+    cfg = tiny_config.replace(dtype="float32", weight_dtype="int8",
+                              vocab_size=vocab)
+    tensors = random_ggjt_tensors(cfg, seed=11)
+    host = host_parameters(cfg, tensors)
+    params = quantize_params(cfg, host)
+    assert params["output"]["q8"].shape[-1] == 4096  # padded
+    assert params["output"]["s"].shape[-1] == 4096
+
+    tokens = jnp.array([[1, 7, 99]], jnp.int32)
+    pos = jnp.zeros(1, jnp.int32)
+    got, _ = forward(params, tokens, KVCache.create(cfg, batch=1,
+                                                    dtype=jnp.float32),
+                     pos, cfg)
+    assert got.shape[-1] == vocab  # sliced back before any consumer
+    assert 0 <= int(jnp.argmax(got, -1)[0]) < vocab
+
+    # numerics: padded head == unpadded head on the real columns
+    import llamago_tpu.ops.quant as quant_mod
+    orig = quant_mod.LM_HEAD_PAD
+    try:
+        quant_mod.LM_HEAD_PAD = 1  # effectively disables padding
+        params_unpadded = quantize_params(cfg, host)
+    finally:
+        quant_mod.LM_HEAD_PAD = orig
+    assert params_unpadded["output"]["q8"].shape[-1] == vocab
+    ref, _ = forward(params_unpadded, tokens,
+                     KVCache.create(cfg, batch=1, dtype=jnp.float32),
+                     pos, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
