@@ -51,9 +51,11 @@ NEG_INF = float("-inf")
 
 # VMEM budgets (bytes) guarding kernel applicability; past these the jnp
 # path is used instead. K+V blocks are double-buffered by the pipeline;
-# the f32 score tile lives once.
-_KV_BYTES_MAX = 2 * 1024 * 1024  # single-buffer K+V per program
-_SCORE_BYTES_MAX = 4 * 1024 * 1024
+# the f32 score tile lives once. Env-overridable for tiling sweeps.
+_KV_BYTES_MAX = int(_os.environ.get(
+    "LLAMAGO_ATTN_KV_BYTES", 2 * 1024 * 1024))  # single-buffer K+V/program
+_SCORE_BYTES_MAX = int(_os.environ.get(
+    "LLAMAGO_ATTN_SCORE_BYTES", 4 * 1024 * 1024))
 
 # Engagement floors, re-derived on v5e by in-model A/B (bench.py with
 # the env overrides below) rather than dispatch-cost guesses.
@@ -67,12 +69,14 @@ _SCORE_BYTES_MAX = 4 * 1024 * 1024
 # "batch-scaling anomaly" (docs/QUANTIZATION.md). An earlier r2-era A/B
 # measured the opposite (53.0 vs 67.4 at b=1 ctx=1024) and gated the
 # kernel off; that result did not reproduce on re-measurement.
-# DEFAULT: kernel ON for decode (floor 0). Prefill measured NON-MONOTONE
-# on r3 re-derivation (kernel vs XLA, ms, lower better): T=64 S=1024
-# 83.5 vs 86.2; T=128 S=2048 111.5 vs 90.1 (kernel loses 24%); T=512
-# S=4096 132.9 vs 146.6 (kernel wins 10%) — no clean traffic threshold,
-# so prefill keeps the XLA path by default. Overrides (bytes):
-# LLAMAGO_ATTN_DECODE_FLOOR / LLAMAGO_ATTN_PREFILL_FLOOR.
+# DEFAULT: kernel ON for decode (floor 0). Prefill keeps the XLA path:
+# repeated same-day A/Bs at T=128 S=2048 swing +-35% for IDENTICAL
+# configs on this transport (XLA 57.8-96.7 ms, kernel 68.1-90.2), so
+# neither the r3 "kernel loses 24%" reading nor the later "kernel wins"
+# readings are trustworthy — prefill is not decode-critical and the
+# safe default is the compiler path. Overrides (bytes):
+# LLAMAGO_ATTN_DECODE_FLOOR / LLAMAGO_ATTN_PREFILL_FLOOR, plus
+# LLAMAGO_ATTN_KV_BYTES / LLAMAGO_ATTN_SCORE_BYTES for tile budgets.
 _GB = 1024 * 1024 * 1024
 _MIN_DECODE_TRAFFIC = int(_os.environ.get(
     "LLAMAGO_ATTN_DECODE_FLOOR", 0))
