@@ -798,17 +798,37 @@ def bench_matrix() -> dict:
 
     headline = record("decode_7b_int8", {"BENCH_WEIGHT_DTYPE": "int8"}, bench_decode)
     record("decode_7b_int4", {"BENCH_WEIGHT_DTYPE": "int4"}, bench_decode)
-    record("decode_7b_int8_b8", {"BENCH_WEIGHT_DTYPE": "int8", "BENCH_BATCH": "8"},
-           bench_decode)
+    for b in (2, 4, 8):
+        record(f"decode_7b_int8_b{b}",
+               {"BENCH_WEIGHT_DTYPE": "int8", "BENCH_BATCH": str(b)},
+               bench_decode)
     record("decode_7b_int8_spec", {"BENCH_WEIGHT_DTYPE": "int8", "BENCH_SPEC": "1"},
            bench_decode)
     import jax as _jax
 
-    if os.environ.get("BENCH_MATRIX_13B", "1") == "1" and \
-            _jax.default_backend() == "tpu":
+    on_tpu = _jax.default_backend() == "tpu"
+    if os.environ.get("BENCH_MATRIX_13B", "1") == "1" and on_tpu:
         record("decode_13b_int8", {"BENCH_MODEL": "13B", "BENCH_WEIGHT_DTYPE": "int8"},
                bench_decode)
+    if os.environ.get("BENCH_MATRIX_LLAMA3", "1") == "1" and on_tpu:
+        record("decode_llama3_8b_int8",
+               {"BENCH_MODEL": "llama3-8B", "BENCH_WEIGHT_DTYPE": "int8"},
+               bench_decode)
+        record("decode_llama3_8b_int8_b8",
+               {"BENCH_MODEL": "llama3-8B", "BENCH_WEIGHT_DTYPE": "int8",
+                "BENCH_BATCH": "8"},
+               bench_decode)
     record("serve_7b_int8", {"BENCH_WEIGHT_DTYPE": "int8"}, bench_serve)
+    record("serve_7b_int8_spec", {"BENCH_WEIGHT_DTYPE": "int8", "BENCH_SPEC": "1"},
+           bench_serve)
+    record("serve_7b_int8_slots8",
+           {"BENCH_WEIGHT_DTYPE": "int8", "BENCH_PODS": "8"}, bench_serve)
+    record("serve_7b_int8_ctx2048",
+           {"BENCH_WEIGHT_DTYPE": "int8", "BENCH_CTX": "2048",
+            "BENCH_TOKENS": "96"}, bench_serve)
+    if os.environ.get("BENCH_MATRIX_SOAK", "1") == "1":
+        record("serve_soak", {"BENCH_WEIGHT_DTYPE": "int8"}, bench_soak)
+    record("shard70b_int4", {}, bench_shard70b)
     with open("bench_artifacts/summary.json", "w") as f:
         json.dump(results, f, indent=1)
     return headline
