@@ -125,27 +125,83 @@ def measure_hbm_gbps(jax, size_mb: int = 512, iters: tuple[int, int] = (8, 72),
 
         return chain
 
+    def make_read(k):
+        # READ-bandwidth chain: each step reads the buffer once through a
+        # carry-dependent dynamic slice (not hoistable) and reduces it to
+        # a scalar — writes are negligible. Weight-streaming decode is
+        # read-dominated and measurably outruns the copy chain (707 vs
+        # 655 GB/s observed on v5e), so the roofline ceiling is the max
+        # of the two.
+        @jax.jit
+        def chain(x, idx, acc):
+            def body(c, _):
+                i, a = c
+                seg = jax.lax.dynamic_slice(x, (i * 128,), (n - 1024,))
+                return ((i + 1) % 8,
+                        a * 0.5 + jnp.sum(seg, dtype=jnp.float32)), None
+            (i, a), _ = jax.lax.scan(body, (idx, acc), None, length=k)
+            return i, a
+
+        return chain
+
+    def sample_pairs(run_short, run_long, traffic):
+        out = []
+        for _ in range(pairs):
+            t0 = time.time()
+            run_short()
+            t1 = time.time()
+            run_long()
+            t2 = time.time()
+            dt = (t2 - t1) - (t1 - t0)
+            if dt > 0:
+                out.append(traffic / dt / 1e9)
+        return out
+
     short, long = make(iters[0]), make(iters[1])
     y = short(x)
     _sync(y)
     y = long(y)
     _sync(y)  # compile + warm
-    traffic = 2.0 * n * 4 * (iters[1] - iters[0])
-    samples = []
-    for _ in range(pairs):
-        t0 = time.time()
-        y = short(y)
-        _sync(y)
-        t1 = time.time()
-        y = long(y)
-        _sync(y)
-        t2 = time.time()
-        dt = (t2 - t1) - (t1 - t0)
-        if dt > 0:
-            samples.append(traffic / dt / 1e9)
+    state = {"y": y}
+
+    def run_copy_short():
+        state["y"] = short(state["y"])
+        _sync(state["y"])
+
+    def run_copy_long():
+        state["y"] = long(state["y"])
+        _sync(state["y"])
+
+    samples = sample_pairs(run_copy_short, run_copy_long,
+                           2.0 * n * 4 * (iters[1] - iters[0]))
+
+    rshort, rlong = make_read(iters[0]), make_read(iters[1])
+    idx = jnp.zeros((), jnp.int32)
+    acc = jnp.zeros((), jnp.float32)
+    idx, acc = rshort(state["y"], idx, acc)
+    _sync(acc)
+    idx, acc = rlong(state["y"], idx, acc)
+    _sync(acc)
+    rstate = {"i": idx, "a": acc}
+
+    def run_read_short():
+        rstate["i"], rstate["a"] = rshort(state["y"], rstate["i"], rstate["a"])
+        _sync(rstate["a"])
+
+    def run_read_long():
+        rstate["i"], rstate["a"] = rlong(state["y"], rstate["i"], rstate["a"])
+        _sync(rstate["a"])
+
+    read_samples = sample_pairs(run_read_short, run_read_long,
+                                1.0 * (n - 1024) * 4 * (iters[1] - iters[0]))
+    read_med = float(np.median(read_samples)) if read_samples else 0.0
+
     if not samples:
-        return 0.0
-    med = float(np.median(samples))
+        return read_med
+    copy_med = float(np.median(samples))
+    if read_med > copy_med:
+        samples = read_samples
+    med = max(copy_med, read_med)
     spread = float((max(samples) - min(samples)) / med) if med else 0.0
     spec = _spec_gbps(jax)
     ceiling = med
@@ -168,6 +224,8 @@ def measure_hbm_gbps(jax, size_mb: int = 512, iters: tuple[int, int] = (8, 72),
         detail.update({
             "hbm_samples_gbps": [round(s, 1) for s in samples],
             "hbm_median_gbps": round(med, 1),
+            "hbm_copy_gbps": round(copy_med, 1),
+            "hbm_read_gbps": round(read_med, 1),
             "hbm_spread_pct": round(100 * spread, 1),
             "hbm_spec_gbps": spec,
             "hbm_clamped_to_spec": clamped,
@@ -287,11 +345,22 @@ def bench_decode() -> dict:
             n_steps=chunk, draft_len=draft_len,
         )
         _sync(toks)
+        # second warmup: the first post-compile call can run up to 2x
+        # slower on this transport (measured 35 vs 18 ms/step at b=8;
+        # allocator state after the HBM probe's 512 MB buffers) — steady
+        # state begins at the second call, so warm twice before timing.
+        last = jax.vmap(lambda t, n: t[-1, n])(toks, counts[:, -1] - 1)
+        toks, counts, cache, pos, hist, hlen = speculative_decode_chunk(
+            params, last, cache, pos, hist, hlen, config,
+            n_steps=chunk, draft_len=draft_len,
+        )
+        _sync(toks)
         warmup_s = time.time() - t0
 
         produced = 0
         forward_steps = 0  # scan steps = weight reads
         last = jax.vmap(lambda t, n: t[-1, n])(toks, counts[:, -1] - 1)
+        start_pos = int(pos.max())
         t0 = time.time()
         while produced < n_tokens and int(pos.max()) + chunk * (draft_len + 1) < ctx:
             toks, counts, cache, pos, hist, hlen = speculative_decode_chunk(
@@ -316,18 +385,31 @@ def bench_decode() -> dict:
             params, tok, cache, pos, config, chunk, rngs=rngs, state=st
         )
         _sync(toks)
+        # second warmup — see the speculative branch note: the first
+        # post-compile call is up to 2x slower on this transport.
+        toks, cache, pos, st, rngs = decode_chunk(
+            params, toks[:, -1], cache, pos, config, chunk, rngs=rngs, state=st
+        )
+        _sync(toks)
         warmup_s = time.time() - t0
 
-        # steady-state measurement
+        # steady-state measurement: at least 2 chunks, stop before the
+        # context window would overflow (cache writes clamp at S)
         produced = 0
         forward_steps = 0
+        chunks_done = 0
+        pos_host = prompt_len + 2 * chunk  # tracks pos.max() sync-free
+        start_pos = pos_host
         t0 = time.time()
-        while produced < n_tokens:
+        while (produced < n_tokens or chunks_done < 2) and (
+                pos_host + chunk <= ctx):
             toks, cache, pos, st, rngs = decode_chunk(
                 params, toks[:, -1], cache, pos, config, chunk, rngs=rngs, state=st
             )
             produced += chunk * batch
             forward_steps += chunk
+            chunks_done += 1
+            pos_host += chunk
         _sync(toks)
         dt = time.time() - t0
         toks_per_s = produced / dt
@@ -339,8 +421,8 @@ def bench_decode() -> dict:
     # the roofline claim; the denominator is the measured copy bandwidth.
     kv_itemsize = 2  # bf16 cache
     kv_row = config.n_layers * 2 * config.kv_heads * config.head_dim * kv_itemsize
-    steps_per_row = produced / max(batch, 1)  # tokens emitted per batch row
-    avg_pos = prompt_len + steps_per_row / 2.0
+    end_pos = int(pos.max())
+    avg_pos = (start_pos + end_pos) / 2.0  # mean position over TIMED steps
     kv_bytes_per_tok = kv_row * avg_pos  # read; the 1-row write is negligible
     weight_gb = weight_bytes * forward_steps / 1e9
     kv_gb = kv_bytes_per_tok * produced / 1e9

@@ -34,6 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def _sync(a):
     return np.asarray(jax.tree.leaves(a)[0].reshape(-1)[:1])
@@ -180,6 +182,56 @@ def time_component(name, fn, per_layer, params, config, b, steps):
     return best * 1e3  # ms/step
 
 
+def time_attn(params, config, b, steps):
+    """The attention block alone (rope + cache write + production
+    _attention dispatch, so the flash kernel engages exactly as in
+    forward_impl), per-layer caches carried through the scan."""
+    from llamago_tpu.models.llama import _attention, _update_cache
+    from llamago_tpu.ops.basic import apply_rope
+
+    d = config.dim
+    kv, hd, h_n = config.kv_heads, config.head_dim, config.n_heads
+    s = config.max_seq_len
+    n_l = config.n_layers
+    dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+
+    caches = tuple(jnp.zeros((b, kv, s, hd), dtype) for _ in range(2 * n_l))
+
+    @jax.jit
+    def run(x, caches, pos):
+        def body(carry, _):
+            x, caches, pos = carry
+            positions = pos[:, None]
+            new = []
+            for li in range(n_l):
+                k_l, v_l = caches[2 * li], caches[2 * li + 1]
+                q = x.reshape(b, 1, h_n, hd)
+                knew = x.reshape(b, 1, h_n, hd)[:, :, :kv, :]
+                q = apply_rope(q, positions, config.rope_theta)
+                knew = apply_rope(knew, positions, config.rope_theta)
+                k_l = _update_cache(k_l, knew.astype(dtype), pos)
+                v_l = _update_cache(v_l, (knew * 1.0001).astype(dtype), pos)
+                attn = _attention(config, q, k_l, v_l, positions)
+                x = (x + attn.reshape(b, 1, d) * 1e-3).astype(dtype)
+                new += [k_l, v_l]
+            return (x, tuple(new), pos + 1), None
+        (x, caches, pos), _ = jax.lax.scan(
+            body, (x, caches, pos), None, length=steps)
+        return x, caches, pos
+
+    x0 = jnp.ones((b, 1, d), dtype)
+    pos0 = jnp.zeros((b,), jnp.int32)
+    x, caches, pos = run(x0, caches, pos0)
+    _sync(x)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        x, caches, pos = run(x, caches, pos - steps)
+        _sync(x)
+        best = min(best, (time.time() - t0) / steps)
+    return best * 1e3
+
+
 def time_fwd(params, config, b, steps):
     from llamago_tpu.runtime.decode_loop import decode_chunk
     from llamago_tpu.runtime.kv_cache import KVCache
@@ -215,9 +267,10 @@ def main():
     wd = os.environ.get("BT_WEIGHT_DTYPE", "int8")
     steps = int(os.environ.get("BT_STEPS", "32" if on_tpu else "4"))
     batches = [int(s) for s in os.environ.get("BT_BATCHES", "1,2,4,8").split(",")]
+    ctx = int(os.environ.get("BT_CTX", "512" if on_tpu else "128"))
     config = MODEL_PRESETS[model].replace(
         dtype="bfloat16" if on_tpu else "float32", weight_dtype=wd,
-        max_seq_len=512 if on_tpu else 128)
+        max_seq_len=ctx)
     params = random_quantized_parameters(config, seed=0, layered=True)
     if os.environ.get("BT_FUSE", "1") == "1":
         params = fuse_layer_weights(params)
@@ -234,6 +287,8 @@ def main():
         for b in batches:
             if nm == "fwd":
                 ms = time_fwd(params, config, b, steps)
+            elif nm == "attn":
+                ms = time_attn(params, config, b, steps)
             else:
                 fn, per_layer = comps[nm]
                 ms = time_component(nm, fn, per_layer, params, config, b, steps)
