@@ -133,8 +133,155 @@ def can_fuse_attention_local(q: jnp.ndarray, k_cache: jnp.ndarray) -> bool:
                 return False
         elif score_bytes < _MIN_PREFILL_SCORES:
             return False
+    if _LENAWARE and t <= 32:
+        kh, sb = _decode_tiles(t, g, kv, s, hd, k_cache.dtype.itemsize)
+        if kh is not None:
+            return True
     kh, tb = _tiles(t, g, kv, s, hd, k_cache.dtype.itemsize)
     return kh is not None
+
+
+# Length-aware decode kernel (t <= 32): the whole-S kernel above this
+# one reads the FULL padded cache every step — at b=8, S=1024, 7B
+# geometry that is 4.3 GB/step even when positions are near zero. This
+# variant tiles S into `sb`-row blocks, accumulates an online softmax
+# across blocks, and CLAMPS the K/V block index to the last valid block
+# (scalar-prefetched positions): Pallas only issues a copy when the
+# block index changes between consecutive grid steps, so every
+# out-of-range block is a no-DMA no-compute (`pl.when`) skip. Cache
+# traffic becomes proportional to the actual context fill, not S.
+_LENAWARE = _os.environ.get("LLAMAGO_ATTN_LENAWARE", "1") == "1"
+_SB = int(_os.environ.get("LLAMAGO_ATTN_SB", "256"))
+_MASK = -1e9  # finite: -inf - -inf = nan would poison the online stats
+
+
+def _decode_tiles(t: int, g: int, kv: int, s: int, hd: int, itemsize: int):
+    """(kh heads per program, S-block rows) for the length-aware kernel."""
+    sb = _SB
+    while sb > 8 and s % sb:
+        sb //= 2
+    if s % sb or t > 32:
+        return None, None
+    kh = kv
+    while kh > 1 and (kv % kh or 2 * kh * sb * hd * itemsize > _KV_BYTES_MAX):
+        kh -= 1
+    if 2 * kh * sb * hd * itemsize > _KV_BYTES_MAX:
+        return None, None
+    if 4 * kh * t * g * sb > _SCORE_BYTES_MAX:
+        return None, None
+    return kh, sb
+
+
+def _attn_decode_kernel(pos_ref, q_ref, k_ref, v_ref, o_ref,
+                        acc_ref, m_ref, l_ref, *,
+                        scale, g, kh, sb, n_sb, hd, t):
+    """One (b, kb, si) grid step: online-softmax block accumulation.
+
+    pos_ref [B] scalar-prefetch — absolute position of q row t=0
+    q_ref  (1, t, kh, g, hd) VMEM — resident across si (index map
+                                    ignores si)
+    k_ref  (1, kh, sb, hd) VMEM — S-block of cached K (index clamped to
+                                  the last valid block)
+    v_ref  (1, kh, sb, hd) VMEM — same for V
+    o_ref  (1, t, kh, g, hd) VMEM — written at the final si step
+    acc/m/l — f32 VMEM scratch carrying the online softmax state
+    """
+    bi = pl.program_id(0)
+    si = pl.program_id(2)
+    pos0 = pos_ref[bi]
+    last_blk = jnp.minimum((pos0 + t - 1) // sb, n_sb - 1)
+    rows = t * g
+
+    @pl.when(si == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, _MASK)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    @pl.when(si <= last_blk)
+    def _compute():
+        q = q_ref[0].transpose(1, 0, 2, 3).reshape(kh, rows, hd)
+        k = k_ref[0]  # [kh, sb, hd]
+        v = v_ref[0]
+        s_blk = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [kh, rows, sb]
+
+        qpos = (pos0
+                + jax.lax.broadcasted_iota(jnp.int32, (kh, rows, sb), 1) // g)
+        spos = (si * sb
+                + jax.lax.broadcasted_iota(jnp.int32, (kh, rows, sb), 2))
+        s_blk = jnp.where(spos <= qpos, s_blk, _MASK)
+
+        m_prev = m_ref[:, :, :1]  # [kh, rows, 1] (lanes replicated)
+        m_new = jnp.maximum(m_prev, jnp.max(s_blk, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)  # [kh, rows, 1]
+        p = jnp.exp(s_blk - m_new)  # [kh, rows, sb]
+        l_ref[...] = (l_ref[...] * alpha
+                      + jnp.sum(p, axis=-1, keepdims=True))
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [kh, rows, hd]
+        acc_ref[...] = acc_ref[...] * alpha + pv
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(si == n_sb - 1)
+    def _finalize():
+        out = acc_ref[...] / l_ref[:, :, :1]
+        o_ref[0] = (
+            out.reshape(kh, t, g, hd).transpose(1, 0, 2, 3).astype(o_ref.dtype)
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _flash_attention_lenaware(q5, k_cache, v_cache, pos0, scale):
+    b, t, kv, g, hd = q5.shape
+    s = k_cache.shape[2]
+    kh, sb = _decode_tiles(t, g, kv, s, hd, k_cache.dtype.itemsize)
+    n_sb = s // sb
+
+    def kv_index(bi, ki, si, pos_ref):
+        last = jnp.minimum((pos_ref[bi] + t - 1) // sb, n_sb - 1)
+        return (bi, ki, jnp.minimum(si, last), 0)
+
+    kv_spec = pl.BlockSpec((1, kh, sb, hd), kv_index,
+                           memory_space=pltpu.VMEM)
+    q_spec = pl.BlockSpec(
+        (1, t, kh, g, hd), lambda bi, ki, si, *_: (bi, 0, ki, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    rows = t * g
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, kv // kh, n_sb),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        scratch_shapes=[
+            pltpu.VMEM((kh, rows, hd), jnp.float32),
+            pltpu.VMEM((kh, rows, 128), jnp.float32),
+            pltpu.VMEM((kh, rows, 128), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_decode_kernel, scale=scale, g=g, kh=kh, sb=sb,
+            n_sb=n_sb, hd=hd, t=t,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, t, kv, g, hd), q5.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * kv * g * t * s * hd,
+            bytes_accessed=(
+                2 * b * kv * s * hd * k_cache.dtype.itemsize
+                + 2 * b * t * kv * g * hd * q5.dtype.itemsize
+            ),
+            transcendentals=b * kv * g * t * s,
+        ),
+        interpret=_k._interpret(),
+    )(pos0, q5, k_cache, v_cache)
+    return out
 
 
 def _attn_kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *, scale, g, tb, kh, s, hd):
@@ -326,7 +473,13 @@ def flash_attention(
     q5 = q.reshape(b, t, kv, g, hd)
     pos0 = positions[:, 0].astype(jnp.int32)
     scale = 1.0 / (hd**0.5)  # reference: llama.go:303
-    out = _flash_attention(q5, k_cache, v_cache, pos0, scale)
+    s = k_cache.shape[2]
+    if (_LENAWARE and t <= 32
+            and _decode_tiles(t, g, kv, s, hd, k_cache.dtype.itemsize)[0]
+            is not None):
+        out = _flash_attention_lenaware(q5, k_cache, v_cache, pos0, scale)
+    else:
+        out = _flash_attention(q5, k_cache, v_cache, pos0, scale)
     return out.reshape(b, t, h * hd)
 
 

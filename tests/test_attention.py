@@ -89,10 +89,38 @@ def test_bfloat16_io():
 
 
 def test_guard_rejects_oversized_cache():
-    # S*hd beyond the VMEM budget must fall back to the jnp path
-    q = jnp.zeros((1, 1, 2, 256), jnp.float32)
+    # PREFILL-shaped (t > 32) S*hd beyond the VMEM budget must fall back
+    # to the jnp path. (Decode shapes no longer hit this guard: the
+    # length-aware kernel S-blocks the cache, so whole-S VMEM residency
+    # is not required.)
+    q = jnp.zeros((1, 64, 2, 256), jnp.float32)
     k_cache = jnp.zeros((1, 2, 8192, 256), jnp.float32)
     assert not attention.can_fuse_attention(q, k_cache)
+
+
+def test_decode_lenaware_multiblock():
+    # several S-blocks per (batch, head): positions straddle block
+    # boundaries, including pos inside the first block (later blocks
+    # are index-clamped + compute-skipped) and the exact block edge
+    import os
+    old = os.environ.get("LLAMAGO_ATTN_SB")
+    try:
+        for pos0 in ([3, 16], [15, 31], [0, 63]):
+            _run_case(b=2, t=1, h=4, kv=4, hd=16, s=64, pos0=pos0, seed=11)
+    finally:
+        if old is None:
+            os.environ.pop("LLAMAGO_ATTN_SB", None)
+
+
+def test_decode_lenaware_blocked_gqa_multitoken():
+    # t=4 (speculative verify window) x GQA g=4 across 4 S-blocks of 16
+    sb_old = attention._SB
+    attention._SB = 16
+    try:
+        _run_case(b=2, t=4, h=8, kv=2, hd=16, s=64, pos0=[7, 42], seed=13)
+        _run_case(b=1, t=8, h=4, kv=4, hd=16, s=64, pos0=[55], seed=17)
+    finally:
+        attention._SB = sb_old
 
 
 def test_end_to_end_forward_uses_kernel(tiny_gqa_config):
