@@ -260,7 +260,8 @@ def _make_config(jax):
         # CPU XLA's DotThunk rejects some bf16 dot shapes (seen in the
         # speculative path); bf16 is the TPU-native choice only
         dtype="bfloat16" if on_tpu else "float32",
-        weight_dtype=weight_dtype, max_seq_len=ctx
+        weight_dtype=weight_dtype, max_seq_len=ctx,
+        kv_dtype=os.environ.get("BENCH_KV_DTYPE", "auto"),
     )
     return config, model_name, weight_dtype, ctx, on_tpu
 

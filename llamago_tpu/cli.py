@@ -95,6 +95,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weight-dtype", default=None,
                    choices=["bfloat16", "float32", "int8", "int4"],
                    help="weight storage [default: same as --dtype]")
+    p.add_argument("--kv-dtype", default="auto",
+                   choices=["auto", "bfloat16", "float32", "int8"],
+                   help="KV-cache storage [auto = compute dtype]; int8 "
+                        "halves cache HBM (2x contexts/slots per chip) "
+                        "and speeds cache-bound decode")
     p.add_argument("--tp", type=int, default=0,
                    help="tensor-parallel size [0 = all local devices]")
     p.add_argument("--dp", type=int, default=1,
@@ -255,6 +260,7 @@ def _load_engine(args):
         # a pre-quantized file dictates the weight storage
         weight_dtype=(ckpt.config.weight_dtype if file_quantized
                       else args.weight_dtype or args.dtype),
+        kv_dtype=args.kv_dtype,
         max_seq_len=args.context,
     )
     shardings = None

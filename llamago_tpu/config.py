@@ -44,6 +44,11 @@ class ModelConfig:
     # Weight storage: "float32" | "bfloat16" | "int8" | "int4"
     # (int8/int4 are Q8_0/Q4_0-style block-32 weight-only quantization).
     weight_dtype: str = "bfloat16"
+    # KV-cache storage: "auto" (= compute dtype) | "bfloat16" | "float32"
+    # | "int8" (per-row quantized — halves cache HBM/footprint and speeds
+    # cache-bound decode; see runtime/kv_cache.py). The reference's cache
+    # is always F32 (pkg/llama/llama.go:92-103).
+    kv_dtype: str = "auto"
 
     @property
     def head_dim(self) -> int:

@@ -144,9 +144,9 @@ def run_gate(steps: int = 400, batch: int = 8, ctx: int = 256,
     write_ggjt(f32_path, config, vocab, export_ggjt_tensors(config, params),
                ftype=0)
 
-    def ppl_of(path: str, compute: str = "float32") -> float:
+    def ppl_of(path: str, compute: str = "float32", kv: str = "auto") -> float:
         ckpt = read_ggjt(path, max_seq_len=ctx)
-        cfg = ckpt.config.replace(dtype=compute, max_seq_len=ctx)
+        cfg = ckpt.config.replace(dtype=compute, max_seq_len=ctx, kv_dtype=kv)
         p = load_parameters(cfg, ckpt.tensors)
         return perplexity(p, cfg, eval_ids, ctx=ctx)["ppl"]
 
@@ -157,8 +157,11 @@ def run_gate(steps: int = 400, batch: int = 8, ctx: int = 256,
         quantize_ggjt(f32_path, qpath, kind=kind)
         qpaths[kind] = qpath
         results[kind] = ppl_of(qpath)
+    # the int8 KV cache row isolates CACHE quantization error: dense f32
+    # weights, quantized cache (runtime/kv_cache.py, --kv-dtype int8)
+    results["kv_int8"] = ppl_of(f32_path, kv="int8")
 
-    deltas = {k: results[k] - results["fp32"] for k in kinds}
+    deltas = {k: results[k] - results["fp32"] for k in (*kinds, "kv_int8")}
     out = {
         "metric": "quantization_ppl_gate",
         "model": f"byte-LLaMA d{config.dim} L{config.n_layers} (proxy; "
@@ -170,6 +173,7 @@ def run_gate(steps: int = 400, batch: int = 8, ctx: int = 256,
         "ppl_delta_vs_fp32": {k: round(v, 4) for k, v in deltas.items()},
         "baseline_gate": "<=0.1 ppl delta at INT4 (BASELINE.md)",
         "gate_int4_pass": bool(deltas.get("q4_0", 9e9) <= 0.1),
+        "gate_kv_int8_pass": bool(deltas.get("kv_int8", 9e9) <= 0.1),
     }
     if fused:
         fres = {"dense_bf16": ppl_of(f32_path, compute="bfloat16")}

@@ -34,7 +34,7 @@ from llamago_tpu.ops.attention import (
     flash_attention,
 )
 from llamago_tpu.ops.basic import apply_rope, linear, rms_norm, swiglu
-from llamago_tpu.runtime.kv_cache import KVCache
+from llamago_tpu.runtime.kv_cache import KVCache, quantize_kv_rows
 
 # Elimination probes for perf bisection (scripts/batch_trunk.py): bypass
 # the KV-cache writes / the attention reads while preserving the data
@@ -71,12 +71,32 @@ def _update_cache(cache_layer: jnp.ndarray, new: jnp.ndarray, write_pos: jnp.nda
     return out
 
 
+def _update_scale(scale_layer: jnp.ndarray, new: jnp.ndarray, write_pos: jnp.ndarray):
+    """Write new per-row scales [B, T, KV] into the scale buffer
+    [B, KV, S] at per-batch offsets (same unroll rationale as
+    _update_cache above)."""
+    new = new.transpose(0, 2, 1)  # [B, KV, T]
+    b = scale_layer.shape[0]
+    zero = jnp.zeros((), write_pos.dtype)
+    if b == 1:
+        return jax.lax.dynamic_update_slice(
+            scale_layer, new, (zero, zero, write_pos[0]))
+    out = scale_layer
+    for i in range(b):
+        out = jax.lax.dynamic_update_slice(
+            out, new[i : i + 1], (jnp.asarray(i, write_pos.dtype), zero,
+                                  write_pos[i]))
+    return out
+
+
 def _attention(
     config: ModelConfig,
     q: jnp.ndarray,  # [B, T, H, hd] (roped)
     k_cache: jnp.ndarray,  # [B, KV, S, hd] (roped)
     v_cache: jnp.ndarray,  # [B, KV, S, hd]
     positions: jnp.ndarray,  # [B, T] absolute query positions
+    k_scale: jnp.ndarray | None = None,  # [B, KV, S] (int8 cache only)
+    v_scale: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Causal attention of new queries against the full cache buffer.
 
@@ -87,6 +107,21 @@ def _attention(
     DiagMaskInf + SoftMax (llama.go:307-313) without materializing -inf
     into a full [ctx, ctx] pass.
     """
+    if k_scale is not None:
+        # int8-quantized cache: fused kernel with per-column scale folding
+        # when the decode geometry allows, scale-folded jnp math otherwise
+        # (incl. prefill and GSPMD/TP — scales fold into the score einsum,
+        # the cache is never dequantized element-wise in HBM).
+        from llamago_tpu.ops.attention import (
+            can_fuse_attention_quant,
+            flash_attention_quant,
+        )
+
+        if can_fuse_attention_quant(q, k_cache):
+            return flash_attention_quant(q, k_cache, v_cache, positions,
+                                         k_scale, v_scale)
+        return _attention_math(q, k_cache, v_cache, positions,
+                               k_scale, v_scale)
     if can_fuse_attention(q, k_cache):
         # Fused Pallas path: scores never leave VMEM, K/V stream through
         # once per (batch, head) — see ops/attention.py.
@@ -161,7 +196,7 @@ def forward_impl(
     q_dim = config.n_heads * config.head_dim
     kv_dim = config.kv_heads * config.head_dim
 
-    def block(x, lp, k_layer, v_layer):
+    def block(x, lp, k_layer, v_layer, ks_l=None, vs_l=None):
         # --- attention (reference: llama.go:250-345)
         h = rms_norm(x, lp["attention_norm"], config.norm_eps)
         if "wqkv" in lp:
@@ -182,14 +217,27 @@ def forward_impl(
         k = apply_rope(k, positions, config.rope_theta)
 
         if not _BYPASS_CACHE:  # elimination probe, see module foot
-            k_layer = _update_cache(k_layer, k.astype(k_layer.dtype), write_pos)
-            v_layer = _update_cache(v_layer, v.astype(v_layer.dtype), write_pos)
+            if ks_l is not None:
+                # int8 cache: per-row quantize the new K/V, store packed
+                # values + scales (runtime/kv_cache.py)
+                kq, ks_new = quantize_kv_rows(k)
+                vq, vs_new = quantize_kv_rows(v)
+                k_layer = _update_cache(k_layer, kq, write_pos)
+                v_layer = _update_cache(v_layer, vq, write_pos)
+                ks_l = _update_scale(ks_l, ks_new, write_pos)
+                vs_l = _update_scale(vs_l, vs_new, write_pos)
+            else:
+                k_layer = _update_cache(k_layer, k.astype(k_layer.dtype),
+                                        write_pos)
+                v_layer = _update_cache(v_layer, v.astype(v_layer.dtype),
+                                        write_pos)
 
         if _BYPASS_ATTN:  # data-dependence-preserving stand-in
             attn = (q + jnp.pad(k, [(0, 0)] * 2 + [(0, config.n_heads
                     - config.kv_heads), (0, 0)])).reshape(b, t, q_dim)
         else:
-            attn = _attention(config, q, k_layer, v_layer, positions)
+            attn = _attention(config, q, k_layer, v_layer, positions,
+                              ks_l, vs_l)
         x = x + linear(attn, lp["wo"], tp_kind=kinds.get("wo"))
 
         # --- FFN (reference: llama.go:340-369)
@@ -201,7 +249,7 @@ def forward_impl(
             x = x + linear(gate * up, lp["w2"])
         else:
             x = x + swiglu(h, lp["w1"], lp["w2"], lp["w3"], kinds=kinds)
-        return x, k_layer, v_layer
+        return x, k_layer, v_layer, ks_l, vs_l
 
     if remat:
         # Training: rematerialize each layer's activations in the
@@ -211,6 +259,11 @@ def forward_impl(
         block = jax.checkpoint(block)
 
     layers = params["layers"]
+    n_l = config.n_layers
+    ks_in = cache.ks if cache.ks is not None else (
+        (None,) * n_l if cache.layered else None)
+    vs_in = cache.vs if cache.vs is not None else (
+        (None,) * n_l if cache.layered else None)
     if isinstance(layers, (list, tuple)):
         # Unrolled path: per-layer weight pytrees feed Pallas kernels
         # directly from HBM with no per-step layer-slice materialization
@@ -218,25 +271,41 @@ def forward_impl(
         # before a custom call can read it). Compile time scales with
         # n_layers; used for the production decode path on TPU.
         if cache.layered:
-            k_new_l, v_new_l = [], []
-            for lp, k_l, v_l in zip(layers, cache.k, cache.v):
-                x, k_l, v_l = block(x, lp, k_l, v_l)
+            k_new_l, v_new_l, ks_new_l, vs_new_l = [], [], [], []
+            for lp, k_l, v_l, ks_l, vs_l in zip(
+                    layers, cache.k, cache.v, ks_in, vs_in):
+                x, k_l, v_l, ks_l, vs_l = block(x, lp, k_l, v_l, ks_l, vs_l)
                 k_new_l.append(k_l)
                 v_new_l.append(v_l)
+                ks_new_l.append(ks_l)
+                vs_new_l.append(vs_l)
             k_new, v_new = tuple(k_new_l), tuple(v_new_l)
+            ks_new = tuple(ks_new_l) if cache.quantized else None
+            vs_new = tuple(vs_new_l) if cache.quantized else None
         else:
             k_new, v_new = cache.k, cache.v
+            ks_new, vs_new = cache.ks, cache.vs
             for il, lp in enumerate(layers):
-                x, k_l, v_l = block(x, lp, k_new[il], v_new[il])
+                x, k_l, v_l, ks_l, vs_l = block(
+                    x, lp, k_new[il], v_new[il],
+                    None if ks_new is None else ks_new[il],
+                    None if vs_new is None else vs_new[il])
                 k_new = k_new.at[il].set(k_l)
                 v_new = v_new.at[il].set(v_l)
+                if ks_l is not None:
+                    ks_new = ks_new.at[il].set(ks_l)
+                    vs_new = vs_new.at[il].set(vs_l)
     else:
         def scan_block(x, layer):
-            lp, k_layer, v_layer = layer
-            x, k_layer, v_layer = block(x, lp, k_layer, v_layer)
-            return x, (k_layer, v_layer)
+            lp, k_layer, v_layer, ks_l, vs_l = layer
+            x, k_layer, v_layer, ks_l, vs_l = block(
+                x, lp, k_layer, v_layer, ks_l, vs_l)
+            return x, (k_layer, v_layer, ks_l, vs_l)
 
-        x, (k_new, v_new) = jax.lax.scan(scan_block, x, (layers, cache.k, cache.v))
+        # None scale entries are empty pytree subtrees, so the same scan
+        # serves both the dense and the quantized cache.
+        x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
+            scan_block, x, (layers, cache.k, cache.v, ks_in, vs_in))
 
     # --- final norm + lm head (reference: llama.go:374-384)
     x = rms_norm(x, params["norm"], config.norm_eps)
@@ -261,10 +330,11 @@ def forward_impl(
             and logits.shape[-1] == lm_head_padded_cols(config.vocab_size)):
         logits = logits[..., : config.vocab_size]
 
+    new_cache = KVCache(k=k_new, v=v_new, ks=ks_new, vs=vs_new)
     if return_embedding:
         emb = (x[:, -1, :] if return_all_logits else x).astype(jnp.float32)
-        return logits, KVCache(k=k_new, v=v_new), emb
-    return logits, KVCache(k=k_new, v=v_new)
+        return logits, new_cache, emb
+    return logits, new_cache
 
 
 forward = partial(jax.jit,
@@ -294,36 +364,35 @@ def prefill_into_slot(
     layered tuples of [B, KV, S, hd] (unrolled path — the engine default,
     where per-layer weights feed the fused Pallas kernels directly).
     """
+    stacked = not cache.layered
     zero = jnp.zeros((), slot.dtype)
-    if cache.layered:
-        _, kv, s, hd = cache.k[0].shape
-        start = (slot, zero, zero, zero)
-        sub = KVCache(
-            k=tuple(jax.lax.dynamic_slice(k, start, (1, kv, s, hd))
-                    for k in cache.k),
-            v=tuple(jax.lax.dynamic_slice(v, start, (1, kv, s, hd))
-                    for v in cache.v),
-        )
-        logits, sub = forward_impl(
-            params, tokens, sub, write_pos, config, logit_index=logit_index
-        )
-        return logits[0], KVCache(
-            k=tuple(jax.lax.dynamic_update_slice(k, sk, start)
-                    for k, sk in zip(cache.k, sub.k)),
-            v=tuple(jax.lax.dynamic_update_slice(v, sv, start)
-                    for v, sv in zip(cache.v, sub.v)),
-        )
 
-    l, _, kv, s, hd = cache.k.shape
-    start = (zero, slot, zero, zero, zero)
-    sub = KVCache(
-        k=jax.lax.dynamic_slice(cache.k, start, (l, 1, kv, s, hd)),
-        v=jax.lax.dynamic_slice(cache.v, start, (l, 1, kv, s, hd)),
-    )
+    def slot_start(arr):
+        # batch axis is 0 in layered arrays, 1 in stacked [L, B, ...]
+        if stacked:
+            return (zero, slot) + (zero,) * (arr.ndim - 2)
+        return (slot,) + (zero,) * (arr.ndim - 1)
+
+    def slot_sizes(arr):
+        if stacked:
+            return (arr.shape[0], 1) + arr.shape[2:]
+        return (1,) + arr.shape[1:]
+
+    def fmap(f, *trees):
+        def ap(*xs):
+            if xs[0] is None:
+                return None
+            if isinstance(xs[0], tuple):
+                return tuple(f(*e) for e in zip(*xs))
+            return f(*xs)
+        return KVCache(*(ap(*[getattr(t, fld) for t in trees])
+                         for fld in ("k", "v", "ks", "vs")))
+
+    sub = fmap(lambda a: jax.lax.dynamic_slice(a, slot_start(a), slot_sizes(a)),
+               cache)
     logits, sub = forward_impl(
         params, tokens, sub, write_pos, config, logit_index=logit_index
     )
-    return logits[0], KVCache(
-        k=jax.lax.dynamic_update_slice(cache.k, sub.k, start),
-        v=jax.lax.dynamic_update_slice(cache.v, sub.v, start),
-    )
+    return logits[0], fmap(
+        lambda a, s: jax.lax.dynamic_update_slice(a, s, slot_start(a)),
+        cache, sub)

@@ -25,7 +25,10 @@ from llamago_tpu.runtime.kv_cache import KVCache
 def loss_fn(params, tokens: jnp.ndarray, config: ModelConfig) -> jnp.ndarray:
     """Mean next-token cross-entropy over [B, T] token batches."""
     b, t = tokens.shape
-    cache = KVCache.create(config, batch=b, max_seq=t, dtype=jnp.dtype(config.dtype))
+    # training always uses a dense cache: quantize_kv_rows rounds, which
+    # would zero the K/V gradients (kv_dtype="int8" is inference-only)
+    cache = KVCache.create(config, batch=b, max_seq=t,
+                           dtype=jnp.dtype(config.dtype), quantized=False)
     logits, _ = forward_impl(
         params,
         tokens,

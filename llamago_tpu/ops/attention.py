@@ -141,6 +141,27 @@ def can_fuse_attention_local(q: jnp.ndarray, k_cache: jnp.ndarray) -> bool:
     return kh is not None
 
 
+def can_fuse_attention_quant(q: jnp.ndarray, k_cache: jnp.ndarray) -> bool:
+    """Fused-kernel applicability for the int8-quantized cache: only the
+    length-aware decode kernel has a scale-folding variant, so decode
+    windows (t <= 32) fuse; prefill takes the scale-folded jnp math in
+    attention_math (scales fold into the score einsum — the cache is
+    never element-wise dequantized in HBM)."""
+    if _k.ACTIVE_MESH is not None or _k.DISABLE_FUSED:
+        return False
+    if not (_k._on_tpu() or _k.FORCE_INTERPRET):
+        return False
+    b, t, h, hd = q.shape
+    kv, s = k_cache.shape[1], k_cache.shape[2]
+    g = h // kv
+    if _k._on_tpu() and (hd % 128 != 0 or s % 8 != 0):
+        return False
+    if not _LENAWARE or t > 32:
+        return False
+    kh, sb = _decode_tiles(t, g, kv, s, hd, k_cache.dtype.itemsize)
+    return kh is not None
+
+
 # Length-aware decode kernel (t <= 32): the whole-S kernel above this
 # one reads the FULL padded cache every step — at b=8, S=1024, 7B
 # geometry that is 4.3 GB/step even when positions are near zero. This
@@ -284,6 +305,148 @@ def _flash_attention_lenaware(q5, k_cache, v_cache, pos0, scale):
     return out
 
 
+def _attn_decode_kernel_quant(pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                              o_ref, acc_ref, m_ref, l_ref, *,
+                              scale, g, kh, sb, n_sb, hd, t):
+    """Length-aware decode kernel over an INT8 cache (runtime/kv_cache.py).
+
+    Identical online-softmax structure to _attn_decode_kernel; the cache
+    blocks arrive int8 (half the DMA bytes of bf16) plus one f32 scale
+    per (head, position) row. The scales are folded per score COLUMN —
+        q . (k_q * s_k) == (q . k_q) * s_k,   p . (v_q * s_v) == (p*s_v) . v_q
+    — so dequant costs one VPU widen per cache element plus O(sb) muls,
+    instead of an O(sb*hd) element-wise dequant pass."""
+    bi = pl.program_id(0)
+    si = pl.program_id(2)
+    pos0 = pos_ref[bi]
+    last_blk = jnp.minimum((pos0 + t - 1) // sb, n_sb - 1)
+    rows = t * g
+
+    @pl.when(si == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, _MASK)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    @pl.when(si <= last_blk)
+    def _compute():
+        q = q_ref[0].transpose(1, 0, 2, 3).reshape(kh, rows, hd)
+        k = k_ref[0].astype(jnp.bfloat16)  # int8 -> bf16: exact to +-127
+        sk = ks_ref[0].astype(jnp.float32)  # [kh, sb]
+        s_blk = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [kh, rows, sb]
+        s_blk = s_blk * sk[:, None, :]
+
+        qpos = (pos0
+                + jax.lax.broadcasted_iota(jnp.int32, (kh, rows, sb), 1) // g)
+        spos = (si * sb
+                + jax.lax.broadcasted_iota(jnp.int32, (kh, rows, sb), 2))
+        s_blk = jnp.where(spos <= qpos, s_blk, _MASK)
+
+        m_prev = m_ref[:, :, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s_blk, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s_blk - m_new)
+        l_ref[...] = (l_ref[...] * alpha
+                      + jnp.sum(p, axis=-1, keepdims=True))
+        sv = vs_ref[0].astype(jnp.float32)  # [kh, sb]
+        v = v_ref[0].astype(jnp.bfloat16)
+        pv = jax.lax.dot_general(
+            (p * sv[:, None, :]).astype(jnp.bfloat16), v,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[...] = acc_ref[...] * alpha + pv
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(si == n_sb - 1)
+    def _finalize():
+        out = acc_ref[...] / l_ref[:, :, :1]
+        o_ref[0] = (
+            out.reshape(kh, t, g, hd).transpose(1, 0, 2, 3).astype(o_ref.dtype)
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _flash_attention_lenaware_quant(q5, k_cache, v_cache, k_scale, v_scale,
+                                    pos0, scale):
+    b, t, kv, g, hd = q5.shape
+    s = k_cache.shape[2]
+    kh, sb = _decode_tiles(t, g, kv, s, hd, k_cache.dtype.itemsize)
+    n_sb = s // sb
+
+    def kv_index(bi, ki, si, pos_ref):
+        last = jnp.minimum((pos_ref[bi] + t - 1) // sb, n_sb - 1)
+        return (bi, ki, jnp.minimum(si, last), 0)
+
+    def sc_index(bi, ki, si, pos_ref):
+        last = jnp.minimum((pos_ref[bi] + t - 1) // sb, n_sb - 1)
+        return (bi, ki, jnp.minimum(si, last))
+
+    kv_spec = pl.BlockSpec((1, kh, sb, hd), kv_index,
+                           memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec((1, kh, sb), sc_index, memory_space=pltpu.VMEM)
+    q_spec = pl.BlockSpec(
+        (1, t, kh, g, hd), lambda bi, ki, si, *_: (bi, 0, ki, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    rows = t * g
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, kv // kh, n_sb),
+        in_specs=[q_spec, kv_spec, kv_spec, sc_spec, sc_spec],
+        out_specs=q_spec,
+        scratch_shapes=[
+            pltpu.VMEM((kh, rows, hd), jnp.float32),
+            pltpu.VMEM((kh, rows, 128), jnp.float32),
+            pltpu.VMEM((kh, rows, 128), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_decode_kernel_quant, scale=scale, g=g, kh=kh, sb=sb,
+            n_sb=n_sb, hd=hd, t=t,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, t, kv, g, hd), q5.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * kv * g * t * s * hd,
+            bytes_accessed=(
+                2 * b * kv * s * hd * k_cache.dtype.itemsize
+                + 2 * b * kv * s * 4
+                + 2 * b * t * kv * g * hd * q5.dtype.itemsize
+            ),
+            transcendentals=b * kv * g * t * s,
+        ),
+        interpret=_k._interpret(),
+    )(pos0, q5, k_cache, v_cache, k_scale, v_scale)
+    return out
+
+
+def flash_attention_quant(
+    q: jnp.ndarray,  # [B, T, H, hd] (roped)
+    k_cache: jnp.ndarray,  # [B, KV, S, hd] int8
+    v_cache: jnp.ndarray,  # [B, KV, S, hd] int8
+    positions: jnp.ndarray,  # [B, T]
+    k_scale: jnp.ndarray,  # [B, KV, S] f32
+    v_scale: jnp.ndarray,  # [B, KV, S] f32
+) -> jnp.ndarray:
+    """Fused decode attention over the int8 cache. Inference-only (the
+    quantized cache is never used in training — round() has no useful
+    gradient); gate with can_fuse_attention_quant."""
+    b, t, h, hd = q.shape
+    kv = k_cache.shape[1]
+    g = h // kv
+    q5 = q.reshape(b, t, kv, g, hd)
+    pos0 = positions[:, 0].astype(jnp.int32)
+    scale = 1.0 / (hd**0.5)
+    out = _flash_attention_lenaware_quant(
+        q5, k_cache, v_cache, k_scale, v_scale, pos0, scale)
+    return out.reshape(b, t, h * hd)
+
+
 def _attn_kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *, scale, g, tb, kh, s, hd):
     """One (b, kb, ti) grid step: masked softmax(q K^T) V for kh heads.
 
@@ -373,13 +536,18 @@ def _flash_attention(q5, k_cache, v_cache, pos0, scale):
 
 def attention_math(
     q: jnp.ndarray,  # [B, T, H, hd] (roped)
-    k_cache: jnp.ndarray,  # [B, KV, S, hd] (roped)
+    k_cache: jnp.ndarray,  # [B, KV, S, hd] (roped; int8 when k_scale given)
     v_cache: jnp.ndarray,  # [B, KV, S, hd]
     positions: jnp.ndarray,  # [B, T] absolute query positions
+    k_scale: jnp.ndarray | None = None,  # [B, KV, S] int8-cache row scales
+    v_scale: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """jnp attention math (reference: llama.go:300-336). Head counts
     derive from the operand shapes so the same code serves global (GSPMD)
-    and shard-local views. Returns [B, T, H*hd] in q.dtype."""
+    and shard-local views. With k_scale/v_scale (int8 cache), the scales
+    fold into the score/prob tensors per cache COLUMN — the int8 planes
+    feed the einsum directly and are never dequantized element-wise in
+    HBM. Returns [B, T, H*hd] in q.dtype."""
     b, t, h, hd = q.shape
     s = k_cache.shape[2]
     kv = k_cache.shape[1]
@@ -389,16 +557,25 @@ def attention_math(
     scale = 1.0 / (hd**0.5)  # reference: llama.go:303 (1/sqrt(embd/heads))
     acc = jnp.promote_types(q.dtype, jnp.float32)
     # scores: [B, KV, G, T, S]
-    scores = jnp.einsum("btkgd,bksd->bkgts", qg, k_cache,
+    scores = jnp.einsum("btkgd,bksd->bkgts", qg,
+                        k_cache.astype(q.dtype) if k_scale is not None
+                        else k_cache,
                         preferred_element_type=acc)
     scores = scores * scale
+    if k_scale is not None:
+        scores = scores * k_scale[:, :, None, None, :].astype(acc)
 
     slot = jnp.arange(s, dtype=jnp.int32)
     allowed = slot[None, None, :] <= positions[:, :, None]  # [B, T, S]
     scores = jnp.where(allowed[:, None, None, :, :], scores, NEG_INF)
 
-    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bkgts,bksd->btkgd", probs, v_cache,
+    probs = jax.nn.softmax(scores, axis=-1)
+    if v_scale is not None:
+        probs = probs * v_scale[:, :, None, None, :].astype(acc)
+    probs = probs.astype(q.dtype)
+    out = jnp.einsum("bkgts,bksd->btkgd", probs,
+                     v_cache.astype(q.dtype) if v_scale is not None
+                     else v_cache,
                      preferred_element_type=acc)
     return out.reshape(b, t, h * hd).astype(q.dtype)
 

@@ -54,11 +54,13 @@ def test_quality_gate_end_to_end(tmp_path):
     quantized leaves — Pallas on TPU, jnp dequant at bf16 here on CPU)."""
     r = run_gate(steps=8, batch=2, ctx=64, dim=64, n_layers=2,
                  tmp_dir=str(tmp_path), fused=True)
-    assert set(r["ppl"]) == {"fp32", "q8_0", "q4_0", "q4_1"}
+    assert set(r["ppl"]) == {"fp32", "q8_0", "q4_0", "q4_1", "kv_int8"}
     for k, v in r["ppl"].items():
         assert np.isfinite(v) and 1.0 < v < 400.0, (k, v)
     # int8 is near-lossless even on a barely-trained model
     assert abs(r["ppl_delta_vs_fp32"]["q8_0"]) < 0.5 * r["ppl"]["fp32"]
+    # int8 KV-cache row (dense weights, quantized cache) is near-lossless
+    assert abs(r["ppl_delta_vs_fp32"]["kv_int8"]) < 0.5 * r["ppl"]["fp32"]
     f = r["fused"]
     assert f["compute_dtype"] == "bfloat16"
     assert set(f["ppl"]) == {"dense_bf16", "q8_0", "q4_0", "q4_1"}
