@@ -420,8 +420,13 @@ def bench_decode() -> dict:
     # read; a speculative step verifies draft+1 tokens per read), plus the
     # KV-cache read of ~position rows per token. This is the numerator of
     # the roofline claim; the denominator is the measured copy bandwidth.
-    kv_itemsize = 2  # bf16 cache
-    kv_row = config.n_layers * 2 * config.kv_heads * config.head_dim * kv_itemsize
+    if config.kv_dtype == "int8":
+        # int8 cache: 1 byte/element + one f32 scale per head row
+        kv_row = config.n_layers * 2 * config.kv_heads * (config.head_dim + 4)
+    else:
+        kv_itemsize = 2  # bf16 cache
+        kv_row = (config.n_layers * 2 * config.kv_heads
+                  * config.head_dim * kv_itemsize)
     end_pos = int(pos.max())
     avg_pos = (start_pos + end_pos) / 2.0  # mean position over TIMED steps
     kv_bytes_per_tok = kv_row * avg_pos  # read; the 1-row write is negligible
@@ -439,7 +444,10 @@ def bench_decode() -> dict:
     )
     return {
         "metric": (f"decode_tokens_per_sec_{model_name}_{weight_dtype}_greedy_b{batch}"
+                   + ("_kvq" if config.kv_dtype == "int8" else "")
                    + ("_spec" if speculative else "")),
+        "kv_dtype": config.kv_dtype,
+        "ctx": ctx,
         "value": round(toks_per_s, 2),
         "unit": "tokens/s",
         "vs_baseline": round(toks_per_s / REFERENCE_7B_FP32_CPU_TOKS, 2),
@@ -557,7 +565,10 @@ def bench_serve() -> dict:
     if failed:
         sys.stderr.write(f"[bench-serve] FIRST FAILURE: {failed[0].get('error')}\n")
     return {
-        "metric": f"served_tokens_per_sec_{model_name}_{weight_dtype}_slots{slots}",
+        "metric": (f"served_tokens_per_sec_{model_name}_{weight_dtype}"
+                   f"_slots{slots}"
+                   + ("_kvq" if config.kv_dtype == "int8" else "")),
+        "kv_dtype": config.kv_dtype,
         "value": round(served_tps, 2),
         "unit": "tokens/s",
         "vs_baseline": round(served_tps / REFERENCE_7B_FP32_CPU_TOKS, 2),
@@ -887,6 +898,19 @@ def bench_matrix() -> dict:
                bench_decode)
     record("decode_7b_int8_spec", {"BENCH_WEIGHT_DTYPE": "int8", "BENCH_SPEC": "1"},
            bench_decode)
+    # int8 KV cache (--kv-dtype int8): halves cache HBM and speeds
+    # cache-bound decode. The ctx-2048 b=8 config is IMPOSSIBLE with a
+    # bf16 cache on one 16 GB chip (RESOURCE_EXHAUSTED, measured
+    # 2026-08-19) — the kvq row is the capacity headline.
+    record("decode_7b_int8_b8_kvq",
+           {"BENCH_WEIGHT_DTYPE": "int8", "BENCH_BATCH": "8",
+            "BENCH_KV_DTYPE": "int8"},
+           bench_decode)
+    record("decode_7b_int8_b8_ctx2048_kvq",
+           {"BENCH_WEIGHT_DTYPE": "int8", "BENCH_BATCH": "8",
+            "BENCH_KV_DTYPE": "int8", "BENCH_CTX": "2048",
+            "BENCH_TOKENS": "1024"},
+           bench_decode)
     import jax as _jax
 
     on_tpu = _jax.default_backend() == "tpu"
@@ -909,6 +933,11 @@ def bench_matrix() -> dict:
     record("serve_7b_int8_ctx2048",
            {"BENCH_WEIGHT_DTYPE": "int8", "BENCH_CTX": "2048",
             "BENCH_TOKENS": "96"}, bench_serve)
+    # 8 slots x 2048 ctx only fits on a 16 GB chip with the int8 cache
+    record("serve_7b_int8_slots8_ctx2048_kvq",
+           {"BENCH_WEIGHT_DTYPE": "int8", "BENCH_PODS": "8",
+            "BENCH_CTX": "2048", "BENCH_TOKENS": "96",
+            "BENCH_KV_DTYPE": "int8"}, bench_serve)
     if os.environ.get("BENCH_MATRIX_SOAK", "1") == "1":
         record("serve_soak", {"BENCH_WEIGHT_DTYPE": "int8"}, bench_soak)
     record("shard70b_int4", {}, bench_shard70b)

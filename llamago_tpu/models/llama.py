@@ -112,6 +112,7 @@ def _attention(
         # when the decode geometry allows, scale-folded jnp math otherwise
         # (incl. prefill and GSPMD/TP — scales fold into the score einsum,
         # the cache is never dequantized element-wise in HBM).
+        from llamago_tpu.ops import kernels as _k
         from llamago_tpu.ops.attention import (
             can_fuse_attention_quant,
             flash_attention_quant,
@@ -120,6 +121,15 @@ def _attention(
         if can_fuse_attention_quant(q, k_cache):
             return flash_attention_quant(q, k_cache, v_cache, positions,
                                          k_scale, v_scale)
+        if _k.ACTIVE_MESH is not None:
+            from llamago_tpu.parallel.tp_kernels import (
+                maybe_tp_attention_quant,
+            )
+
+            out = maybe_tp_attention_quant(q, k_cache, v_cache, positions,
+                                           k_scale, v_scale)
+            if out is not None:
+                return out
         return _attention_math(q, k_cache, v_cache, positions,
                                k_scale, v_scale)
     if can_fuse_attention(q, k_cache):

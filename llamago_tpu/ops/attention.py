@@ -147,7 +147,15 @@ def can_fuse_attention_quant(q: jnp.ndarray, k_cache: jnp.ndarray) -> bool:
     windows (t <= 32) fuse; prefill takes the scale-folded jnp math in
     attention_math (scales fold into the score einsum — the cache is
     never element-wise dequantized in HBM)."""
-    if _k.ACTIVE_MESH is not None or _k.DISABLE_FUSED:
+    if _k.ACTIVE_MESH is not None:
+        return False
+    return can_fuse_attention_quant_local(q, k_cache)
+
+
+def can_fuse_attention_quant_local(q: jnp.ndarray, k_cache: jnp.ndarray) -> bool:
+    """Shape-only check — used by the shard_map TP wrapper, where
+    per-shard pallas_calls are legal under an active mesh."""
+    if _k.DISABLE_FUSED:
         return False
     if not (_k._on_tpu() or _k.FORCE_INTERPRET):
         return False
@@ -580,7 +588,8 @@ def attention_math(
     return out.reshape(b, t, h * hd).astype(q.dtype)
 
 
-def attention_math_sp(q, k_cache, v_cache, positions, axis: str = "sp"):
+def attention_math_sp(q, k_cache, v_cache, positions, axis: str = "sp",
+                      k_scale=None, v_scale=None):
     """Attention over a SEQUENCE-SHARDED cache (called inside shard_map;
     `axis` shards the S dim). Each shard sees S/sp cache rows starting at
     axis_index*S/sp, computes masked partial softmax statistics over its
@@ -603,9 +612,13 @@ def attention_math_sp(q, k_cache, v_cache, positions, axis: str = "sp"):
     qg = q.reshape(b, t, kv, g, hd)
     scale = 1.0 / (hd**0.5)
     acc = jnp.promote_types(q.dtype, jnp.float32)
-    scores = jnp.einsum("btkgd,bksd->bkgts", qg, k_cache,
+    scores = jnp.einsum("btkgd,bksd->bkgts", qg,
+                        k_cache.astype(q.dtype) if k_scale is not None
+                        else k_cache,
                         preferred_element_type=acc)
     scores = scores * scale
+    if k_scale is not None:  # int8 cache: fold local shard's row scales
+        scores = scores * k_scale[:, :, None, None, :].astype(acc)
 
     slot = offset + jnp.arange(s_l, dtype=jnp.int32)
     allowed = slot[None, None, :] <= positions[:, :, None]  # [B, T, S_l]
@@ -620,8 +633,11 @@ def attention_math_sp(q, k_cache, v_cache, positions, axis: str = "sp"):
     # finite because slot 0 (shard 0) is visible to every position >= 0
     p = jnp.exp(scores - jax.lax.stop_gradient(m_global))
     denom = jax.lax.psum(jnp.sum(p, axis=-1, keepdims=True), axis)
+    pv = p
+    if v_scale is not None:  # fold V scales into the probabilities
+        pv = p * v_scale[:, :, None, None, :].astype(acc)
     num = jax.lax.psum(
-        jnp.einsum("bkgts,bksd->bkgtd", p.astype(acc), v_cache.astype(acc)),
+        jnp.einsum("bkgts,bksd->bkgtd", pv.astype(acc), v_cache.astype(acc)),
         axis,
     )
     out = num / denom  # [B,KV,G,T,hd]

@@ -189,3 +189,58 @@ def maybe_tp_attention(attn_fn, q, k_cache, v_cache, positions):
         in_specs=(q_spec, kv_spec, kv_spec, pos_spec),
         out_specs=out_spec, check_vma=False,
     )(q, k_cache, v_cache, positions)
+
+
+def maybe_tp_attention_quant(q, k_cache, v_cache, positions,
+                             k_scale, v_scale):
+    """Sharded attention over the INT8-quantized cache (same axis logic
+    as maybe_tp_attention; scale buffers [B, KV, S] shard like the cache
+    with the head_dim axis dropped). Shard-local bodies: the fused
+    scale-folding decode kernel when the local geometry allows, the
+    scale-folded jnp math otherwise; under sp, the flash-combine SP body
+    with local scale folding. Returns None when no mesh axis applies."""
+    mesh = active_mesh()
+    if mesh is None:
+        return None
+    tp = mesh.shape.get("tp", 1)
+    dp = mesh.shape.get("dp", 1)
+    sp = mesh.shape.get("sp", 1)
+    b, t, h, hd = q.shape
+    kv = k_cache.shape[1]
+    s = k_cache.shape[2]
+    tp_ok = tp > 1 and h % tp == 0 and kv % tp == 0
+    sp_ok = sp > 1 and s % sp == 0
+    bspec = "dp" if (dp > 1 and b % dp == 0) else None
+    if not tp_ok and not sp_ok and bspec is None:
+        return None
+    hspec = "tp" if tp_ok else None
+    sspec = "sp" if sp_ok else None
+
+    q_spec = P(bspec, None, hspec, None)
+    kv_spec = P(bspec, hspec, sspec, None)
+    sc_spec = P(bspec, hspec, sspec)
+    pos_spec = P(bspec, None)
+    out_spec = P(bspec, None, hspec)  # [B, T, H*hd]
+
+    if sp_ok:
+        from llamago_tpu.ops.attention import attention_math_sp
+
+        def body(ql, kl, vl, pl_, ksl, vsl):
+            return attention_math_sp(ql, kl, vl, pl_, "sp", ksl, vsl)
+    else:
+        from llamago_tpu.ops.attention import (
+            attention_math,
+            can_fuse_attention_quant_local,
+            flash_attention_quant,
+        )
+
+        def body(ql, kl, vl, pl_, ksl, vsl):
+            if can_fuse_attention_quant_local(ql, kl):
+                return flash_attention_quant(ql, kl, vl, pl_, ksl, vsl)
+            return attention_math(ql, kl, vl, pl_, ksl, vsl)
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(q_spec, kv_spec, kv_spec, pos_spec, sc_spec, sc_spec),
+        out_specs=out_spec, check_vma=False,
+    )(q, k_cache, v_cache, positions, k_scale, v_scale)

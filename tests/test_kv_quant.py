@@ -230,3 +230,37 @@ def test_engine_int8_cache_generates(tiny_setup):
     eng_d = Engine(cfg_d, params, vocab, slots=2, buckets=(16, 32, 64))
     job_d = eng_d.generate("hello world", gen)
     assert job.output_tokens == job_d.output_tokens
+
+
+def test_speculative_decode_quantized(tiny_setup):
+    """Speculative decode with the int8 cache emits the same greedy
+    stream as with the dense cache (verify windows t<=32 run the
+    scale-folded attention)."""
+    from llamago_tpu.checkpoint.params import unstack_layer_params
+    from llamago_tpu.runtime.speculative import speculative_decode_chunk
+
+    config, params = tiny_setup
+    params = unstack_layer_params(params, config.n_layers)
+    toks = np.random.default_rng(5).integers(1, 500, (2, 6)).astype(np.int32)
+
+    streams = {}
+    for cfg in (config, config.replace(kv_dtype="int8")):
+        cache = KVCache.create(cfg, batch=2, layered=True)
+        logits, cache = forward(params, jnp.asarray(toks), cache,
+                                jnp.zeros(2, jnp.int32), cfg)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        pos = jnp.full((2,), 6, jnp.int32)
+        hist = jnp.zeros((2, cfg.max_seq_len), jnp.int32)
+        hist = hist.at[:, :6].set(toks)
+        hist = jax.vmap(lambda h, t: h.at[6].set(t))(hist, tok)
+        hlen = jnp.full((2,), 7, jnp.int32)
+        out, counts, cache, pos, hist, hlen = speculative_decode_chunk(
+            params, tok, cache, pos, hist, hlen, cfg,
+            n_steps=4, draft_len=3)
+        emitted = []
+        o, c = np.asarray(out), np.asarray(counts)
+        for b in range(2):
+            emitted.append([int(o[b, i, j]) for i in range(c.shape[1])
+                            for j in range(c[b, i])])
+        streams[cfg.kv_dtype] = emitted
+    assert streams["auto"] == streams["int8"]

@@ -296,3 +296,104 @@ def test_sp_forward_matches_single_device():
                                       return_all_logits=True)
         got = np.asarray(got)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_tp_attention_quant_matches_reference():
+    """Sharded attention over the INT8 cache (tp head split, dp batch
+    split, sp sequence split) equals the global scale-folded math."""
+    from llamago_tpu.ops.attention import attention_math
+    from llamago_tpu.parallel.tp_kernels import maybe_tp_attention_quant
+    from llamago_tpu.runtime.kv_cache import quantize_kv_rows
+
+    b, t, h, kv, s, hd = 2, 1, 4, 4, 64, 32
+    rng = np.random.default_rng(21)
+    q = jnp.asarray(rng.standard_normal((b, t, h, hd)).astype(np.float32))
+    kq, ks = quantize_kv_rows(
+        jnp.asarray(rng.standard_normal((b, kv, s, hd)).astype(np.float32)))
+    vq, vs = quantize_kv_rows(
+        jnp.asarray(rng.standard_normal((b, kv, s, hd)).astype(np.float32)))
+    pos = jnp.full((b, t), 41, jnp.int32)
+    ref = attention_math(q, kq, vq, pos, ks, vs)
+
+    for mesh_kw in ({"tp": 2, "dp": 2}, {"tp": 1, "dp": 2, "sp": 4},
+                    {"tp": 2, "dp": 2, "sp": 2}):
+        with active_mesh(make_mesh(**mesh_kw)):
+            out = maybe_tp_attention_quant(q, kq, vq, pos, ks, vs)
+        assert out is not None, mesh_kw
+        # the non-sp bodies run the fused kernel (interpret mode), which
+        # casts p and K/V to bf16 for the MXU — same tolerance as
+        # tests/test_kv_quant.py's kernel-vs-math check
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-2, atol=2e-2)
+
+
+def test_sharded_forward_quant_cache_matches_single_device():
+    """Full forward with kv_dtype=int8 on a tp=2 dp=2 mesh equals the
+    single-device int8-cache forward."""
+    from llamago_tpu.checkpoint.params import random_parameters
+    from llamago_tpu.models.llama import forward_impl
+    from llamago_tpu.runtime.kv_cache import KVCache
+
+    config = ModelConfig(vocab_size=128, dim=64, n_layers=2, n_heads=4,
+                         n_kv_heads=4, multiple_of=32, max_seq_len=64,
+                         dtype="float32", weight_dtype="float32",
+                         kv_dtype="int8")
+    tokens = jnp.asarray(
+        np.random.default_rng(22).integers(0, 128, (2, 8)).astype(np.int32))
+    pos = jnp.zeros(2, jnp.int32)
+
+    jax.clear_caches()
+    params = random_parameters(config, seed=23)
+    cache = KVCache.create(config, batch=2)
+    assert cache.quantized
+    ref, _ = forward_impl(params, tokens, cache, pos, config,
+                          return_all_logits=True)
+    ref = np.asarray(ref)
+    jax.clear_caches()
+
+    with active_mesh(make_mesh(tp=2, dp=2), interpret=False) as mesh:
+        shardings = param_shardings(config, mesh)
+        params_s = random_parameters(config, seed=23, shardings=shardings)
+        cache_s = KVCache.create(config, batch=2,
+                                 sharding=cache_sharding(config, mesh))
+        assert cache_s.quantized
+        got, new_cache = forward_impl(params_s, tokens, cache_s, pos, config,
+                                      return_all_logits=True)
+        got = np.asarray(got)
+        # scale buffers keep the cache sharding minus the head_dim axis
+        assert new_cache.ks is not None
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_sp_forward_quant_cache_matches_single_device():
+    """Sequence-sharded (sp=4) forward with the int8 cache equals the
+    single-device int8-cache forward."""
+    from llamago_tpu.checkpoint.params import random_parameters
+    from llamago_tpu.models.llama import forward_impl
+    from llamago_tpu.runtime.kv_cache import KVCache
+
+    config = ModelConfig(vocab_size=128, dim=64, n_layers=2, n_heads=4,
+                         n_kv_heads=4, multiple_of=32, max_seq_len=64,
+                         dtype="float32", weight_dtype="float32",
+                         kv_dtype="int8")
+    tokens = jnp.asarray(
+        np.random.default_rng(24).integers(0, 128, (2, 8)).astype(np.int32))
+    pos = jnp.zeros(2, jnp.int32)
+
+    jax.clear_caches()
+    params = random_parameters(config, seed=25)
+    cache = KVCache.create(config, batch=2)
+    ref, _ = forward_impl(params, tokens, cache, pos, config,
+                          return_all_logits=True)
+    ref = np.asarray(ref)
+    jax.clear_caches()
+
+    with active_mesh(make_mesh(tp=1, dp=2, sp=4), interpret=False) as mesh:
+        shardings = param_shardings(config, mesh)
+        params_s = random_parameters(config, seed=25, shardings=shardings)
+        cache_s = KVCache.create(config, batch=2,
+                                 sharding=cache_sharding(config, mesh))
+        got, _ = forward_impl(params_s, tokens, cache_s, pos, config,
+                              return_all_logits=True)
+        got = np.asarray(got)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
