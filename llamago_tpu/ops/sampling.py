@@ -154,9 +154,14 @@ def sample_impl(
     probs = jax.nn.softmax(vals, axis=-1)
 
     # 4. nucleus cut, inclusive of the crossing token, then renorm
-    #    (llama.go:618-634): keep i iff cumsum before i < top_p
+    #    (llama.go:618-634): keep i iff cumsum before i < top_p.
+    #    The top candidate is ALWAYS kept — the reference's loop can never
+    #    emit an empty set (llama.go:618-634 keeps >=1), but the pure mask
+    #    form can at top_p<=0, where probs/0 -> NaN and the categorical
+    #    draw emits garbage; rank 0 forces the same >=1-candidate invariant
+    #    (top_p=0 therefore degrades to greedy-over-top-k, not NaN).
     csum = jnp.cumsum(probs, axis=-1)
-    keep = (csum - probs) < top_p[:, None]
+    keep = ((csum - probs) < top_p[:, None]) | (rank == 0)
     probs = jnp.where(keep, probs, 0.0)
     probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
 

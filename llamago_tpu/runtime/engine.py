@@ -226,9 +226,21 @@ class Engine:
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self._wake = threading.Event()
-        # EOS id comes from the vocab when it carries one (BPE vocabs);
-        # sentencepiece-family defaults to the reference's EOS=2
-        self._eos = getattr(vocab, "eos_id", EOS_TOKEN)
+        # Generation-ending ids: the vocab's full stop set when it carries
+        # one (BPE vocabs include instruct end-of-turn controls like
+        # LLaMA-3's <|eot_id|>, which decode() strips from text so stop
+        # STRINGS can never match them); sentencepiece-family defaults to
+        # the reference's EOS=2 (ml.go:27)
+        self._eos_ids = frozenset(
+            getattr(vocab, "stop_ids", None)
+            or {getattr(vocab, "eos_id", EOS_TOKEN)})
+
+    def _first_eos(self, emitted: list[int]) -> int:
+        """Index of the first generation-ending token in `emitted`, or -1."""
+        for i, t in enumerate(emitted):
+            if t in self._eos_ids:
+                return i
+        return -1
 
     def _halving_rungs(self) -> list[int]:
         """Every n_steps value the speculative path can select (the
@@ -611,7 +623,7 @@ class Engine:
             slot.remaining -= 1
             stopped = self._publish_output(job)
             done = (stopped or slot.remaining <= 0
-                    or (job.gen.stop_at_eos and tok == self._eos))
+                    or (job.gen.stop_at_eos and tok in self._eos_ids))
             if done:
                 job.status = JobStatus.FINISHED
                 job.finished = time.time()
@@ -802,8 +814,10 @@ class Engine:
             for s in range(n_steps):
                 emitted.extend(int(t) for t in toks_h[i, s, : counts_h[i, s]])
             kept = emitted
-            if job.gen.stop_at_eos and self._eos in emitted:
-                kept = emitted[: emitted.index(self._eos) + 1]
+            if job.gen.stop_at_eos:
+                e = self._first_eos(emitted)
+                if e >= 0:
+                    kept = emitted[: e + 1]
             kept = kept[: slot.remaining]
             job.output_tokens.extend(kept)
             slot.history.extend(kept)
@@ -817,7 +831,7 @@ class Engine:
             if kept:
                 job.eval_ms.extend([dt_ms / len(kept)] * len(kept))
             done = self._publish_output(job) or slot.remaining <= 0 or (
-                job.gen.stop_at_eos and kept and kept[-1] == self._eos
+                job.gen.stop_at_eos and kept and kept[-1] in self._eos_ids
             )
             if done:
                 job.status = JobStatus.FINISHED
@@ -898,8 +912,10 @@ class Engine:
                 continue
             job = slot.job
             emitted = [int(t) for t in toks[i]]
-            if job.gen.stop_at_eos and self._eos in emitted:
-                emitted = emitted[: emitted.index(self._eos) + 1]
+            if job.gen.stop_at_eos:
+                e = self._first_eos(emitted)
+                if e >= 0:
+                    emitted = emitted[: e + 1]
             # budget overshoot trim (see _chunkable): tokens past
             # max_tokens were computed but are discarded; the job finishes
             emitted = emitted[: max(slot.remaining, 0)]
@@ -909,7 +925,7 @@ class Engine:
             slot.pos += n_chunk + 1
             job.eval_ms.extend([dt_per_tok] * len(emitted))
             done = self._publish_output(job) or slot.remaining <= 0 or (
-                job.gen.stop_at_eos and emitted and emitted[-1] == self._eos
+                job.gen.stop_at_eos and emitted and emitted[-1] in self._eos_ids
             )
             if done:
                 job.status = JobStatus.FINISHED

@@ -27,6 +27,7 @@ slots on one resident model.
 from __future__ import annotations
 
 import json
+import math
 import threading
 import time
 import uuid
@@ -38,20 +39,38 @@ from llamago_tpu.config import GenerateConfig, ServerConfig
 from llamago_tpu.runtime.engine import Engine, Job, JobStatus
 
 
-def render_chat(messages: list[dict], template: str | None = None
-                ) -> tuple[str, tuple[str, ...]]:
+def render_chat(messages: list[dict], template: str | None = None,
+                default: str | None = None) -> tuple[str, tuple[str, ...]]:
     """Render OpenAI-style chat `messages` to a single prompt.
 
     Chat templates are a property of the fine-tune, not the file format,
     and ggjt/GGUF v1-era checkpoints carry no template metadata — so the
-    server ships two: "plain" (a role-prefixed transcript; right default
-    for the base-model checkpoints the reference targets) and "llama2"
-    (the [INST]/<<SYS>> format of LLaMA-2-chat fine-tunes). Select with
-    LLAMAGO_CHAT_TEMPLATE or a per-request "chat_template" key.
+    server ships three: "plain" (a role-prefixed transcript; right default
+    for the base-model checkpoints the reference targets), "llama2"
+    (the [INST]/<<SYS>> format of LLaMA-2-chat fine-tunes), and "llama3"
+    (the <|start_header_id|> header format of LLaMA-3-Instruct). Selection
+    order: per-request "chat_template" key, LLAMAGO_CHAT_TEMPLATE, then
+    `default` (the serving layer passes the vocab's template hint — BPE
+    vocabs with the LLaMA-3 header controls imply "llama3").
 
     Returns (prompt, implicit stop sequences that end the turn).
     """
-    template = template or os.environ.get("LLAMAGO_CHAT_TEMPLATE", "plain")
+    template = (template or os.environ.get("LLAMAGO_CHAT_TEMPLATE")
+                or default or "plain")
+    if template == "llama3":
+        # LLaMA-3-Instruct header format. <|begin_of_text|> is NOT
+        # rendered (the tokenizer adds bos), and the turn is ended by the
+        # <|eot_id|> CONTROL TOKEN, not a text stop sequence — decode()
+        # strips control tokens from output text, so the engine stops on
+        # the id instead (vocab.stop_ids includes eot; the chat handler
+        # forces stop_at_eos). Hence the empty stop tuple here.
+        parts = []
+        for m in messages:
+            role, content = m.get("role", "user"), str(m.get("content", ""))
+            parts.append(f"<|start_header_id|>{role}<|end_header_id|>"
+                         f"\n\n{content}<|eot_id|>")
+        parts.append("<|start_header_id|>assistant<|end_header_id|>\n\n")
+        return "".join(parts), ()
     if template == "llama2":
         system = next((str(m.get("content", "")) for m in messages
                        if m.get("role") == "system"), "")
@@ -77,11 +96,51 @@ def render_chat(messages: list[dict], template: str | None = None
         return " ".join(parts), ("[INST]",)
     if template != "plain":
         raise ValueError(
-            f"unknown chat template {template!r} (expected 'plain' or 'llama2')")
+            f"unknown chat template {template!r} "
+            "(expected 'plain', 'llama2', or 'llama3')")
     # plain transcript
     lines = [f"{m.get('role', 'user')}: {m.get('content', '')}"
              for m in messages]
     return "\n".join(lines) + "\nassistant:", ("\nuser:", "\nsystem:")
+
+
+def validate_gen_overrides(o: dict) -> str | None:
+    """Range-check client sampling params BEFORE they reach the jitted
+    sampler. Out-of-range values there are not errors but NaN factories:
+    top_p=0 used to mask every nucleus candidate (probs/0 -> NaN ->
+    `jax.random.categorical` over NaN emits garbage tokens), and
+    repeat_penalty=0 divides positive logits by zero. The reference
+    implicitly clamps by always keeping >=1 candidate (llama.go:618-634);
+    an HTTP server must reject, not poison a slot. Returns an error
+    message, or None if every present key is valid."""
+    def _num(k: str) -> bool:
+        v = o[k]
+        return (isinstance(v, (int, float)) and not isinstance(v, bool)
+                and math.isfinite(v))
+
+    def _int(k: str) -> bool:
+        return isinstance(o[k], int) and not isinstance(o[k], bool)
+
+    if "temp" in o and not (_num("temp") and o["temp"] >= 0):
+        return "'temperature' must be a finite number >= 0"
+    if "top_p" in o and not (_num("top_p") and 0 < o["top_p"] <= 1):
+        return "'top_p' must be in (0, 1]"
+    if "top_k" in o and not (_int("top_k") and o["top_k"] >= 0):
+        return "'top_k' must be an integer >= 0 (0 = full vocab)"
+    if "repeat_penalty" in o and not (_num("repeat_penalty")
+                                      and o["repeat_penalty"] > 0):
+        return "'repeat_penalty' must be a finite number > 0"
+    if "max_tokens" in o and not (_int("max_tokens") and o["max_tokens"] >= 1):
+        return "'max_tokens' must be an integer >= 1"
+    if "seed" in o and not _int("seed"):
+        return "'seed' must be an integer"
+    if "deadline_s" in o and not (_num("deadline_s") and o["deadline_s"] >= 0):
+        return "'deadline_s' must be a finite number >= 0"
+    if "stop_at_eos" in o and not isinstance(o["stop_at_eos"], bool):
+        return "'stop_at_eos' must be a boolean"
+    if "stop" in o and not all(isinstance(s, str) for s in o["stop"]):
+        return "'stop' must be a string or list of strings"
+    return None
 
 
 def _holdback(text: str, stops: tuple[str, ...]) -> int:
@@ -123,6 +182,10 @@ class JobServer:
         self.config = server_config
         self.gen_defaults = gen_defaults
         self.model_name = model_name
+        # vocab-implied chat template (LLaMA-3 vocabs hint "llama3");
+        # per-request keys and LLAMAGO_CHAT_TEMPLATE still override
+        self.chat_template_default = getattr(
+            getattr(engine, "vocab", None), "chat_template_hint", None)
         self.jobs: dict[str, Job] = {}
         self._lock = threading.Lock()
         self._httpd: ThreadingHTTPServer | None = None
@@ -160,6 +223,9 @@ class JobServer:
         if payload.get("stop"):
             stop = payload["stop"]
             overrides["stop"] = tuple([stop] if isinstance(stop, str) else stop)
+        err = validate_gen_overrides(overrides)
+        if err is not None:
+            return 400, err
         gen = self.gen_defaults.replace(**overrides) if overrides else None
         job = self.place_job(job_id, prompt, gen)
         return 200, {
@@ -438,11 +504,16 @@ def _make_handler(server: JobServer):
                     "type": "invalid_request_error"}})
             try:
                 prompt, turn_stops = render_chat(
-                    messages, payload.get("chat_template"))
+                    messages, payload.get("chat_template"),
+                    default=server.chat_template_default)
             except ValueError as e:
                 return self._send(400, {"error": {
                     "message": str(e), "type": "invalid_request_error"}})
             overrides = self._gen_overrides(payload)
+            err = validate_gen_overrides(overrides)
+            if err is not None:
+                return self._send(400, {"error": {
+                    "message": err, "type": "invalid_request_error"}})
             overrides["stop"] = tuple(overrides.get("stop", ())) + turn_stops
             overrides.setdefault("stop_at_eos", True)
             gen = server.gen_defaults.replace(**overrides)
@@ -504,6 +575,10 @@ def _make_handler(server: JobServer):
             if isinstance(prompt, list):
                 prompt = prompt[0] if prompt else ""
             overrides = self._gen_overrides(payload)
+            err = validate_gen_overrides(overrides)
+            if err is not None:
+                return self._send(400, {"error": {
+                    "message": err, "type": "invalid_request_error"}})
             gen = server.gen_defaults.replace(**overrides) \
                 if overrides else server.gen_defaults
             if len(prompt) >= gen.ctx_size:

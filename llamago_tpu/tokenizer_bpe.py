@@ -87,9 +87,37 @@ class BPEVocab:
         # a known pattern NAME, or a raw regex (HF tokenizer.json carries
         # the split pattern verbatim)
         self._re = regex.compile(PATTERNS.get(self.pattern, self.pattern))
+        # special-token pre-split: markup like <|start_header_id|> must map
+        # to its single control id, never through byte-BPE (HF tokenizers'
+        # added-token splitting; chat templates depend on it). Specials are
+        # ASCII, so their piece text is identical in byte-unicode space.
+        pieces = sorted((self.tokens[i] for i in self.special_ids
+                         if 0 <= i < len(self.tokens) and self.tokens[i]),
+                        key=len, reverse=True)
+        self._special_re = (
+            regex.compile("|".join(regex.escape(p) for p in pieces))
+            if pieces else None)
+        # ids that END a generation: eos plus the end-of-turn controls of
+        # instruct fine-tunes (LLaMA-3's <|eot_id|>/<|eom_id|>). decode()
+        # skips control tokens, so text stop-sequences can never see these
+        # — the engine stops on the ids instead (runtime/engine.py).
+        self.stop_ids = frozenset(
+            {self.eos_id}
+            | {self.token_to_id[n]
+               for n in ("<|eot_id|>", "<|eom_id|>", "<|end_of_text|>")
+               if n in self.token_to_id})
 
     def __len__(self) -> int:
         return len(self.tokens)
+
+    @property
+    def chat_template_hint(self) -> str | None:
+        """Template family implied by the vocab's control tokens (chat
+        templates are a property of the fine-tune; the header tokens only
+        exist in LLaMA-3-family vocabs)."""
+        if "<|start_header_id|>" in self.token_to_id:
+            return "llama3"
+        return None
 
     def _bpe(self, pieces: list[str]) -> list[str]:
         while len(pieces) > 1:
@@ -108,8 +136,23 @@ class BPEVocab:
         return pieces
 
     def encode(self, text: str, bos: bool = False) -> list[int]:
-        b2u = bytes_to_unicode()
         ids: list[int] = [self.bos_id] if bos else []
+        if self._special_re is None:
+            self._encode_plain(text, ids)
+            return ids
+        pos = 0
+        for m in self._special_re.finditer(text):
+            self._encode_plain(text[pos:m.start()], ids)
+            ids.append(self.token_to_id[m.group()])
+            pos = m.end()
+        self._encode_plain(text[pos:], ids)
+        return ids
+
+    def _encode_plain(self, text: str, ids: list[int]) -> None:
+        """Byte-level BPE of special-free text, appended to `ids`."""
+        if not text:
+            return
+        b2u = bytes_to_unicode()
         for m in self._re.finditer(text):
             mapped = "".join(b2u[b] for b in m.group().encode("utf-8"))
             for piece in self._bpe(list(mapped)):
@@ -119,7 +162,6 @@ class BPEVocab:
                 else:  # unmergeable piece: emit per-char byte tokens
                     ids.extend(self.token_to_id[c] for c in piece
                                if c in self.token_to_id)
-        return ids
 
     def decode(self, ids: list[int]) -> str:
         u2b = unicode_to_bytes()

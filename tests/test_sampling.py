@@ -174,3 +174,35 @@ def test_per_slot_params():
         arr(0.0, 0.8), jnp.array([40, 1]), arr(0.95, 0.95), arr(1.1, 1.1),
     )
     assert int(tok[0]) == 30 and int(tok[1]) == 31
+
+
+def test_top_p_zero_degrades_to_greedy_not_nan():
+    """Regression: top_p=0 used to mask EVERY nucleus candidate, so the
+    renorm divided by zero and `jax.random.categorical` over NaN logprobs
+    emitted garbage ids. The >=1-candidate invariant (the reference's loop
+    always keeps at least one, llama.go:618-634) now forces the top
+    candidate, so top_p=0 means greedy-over-top-k."""
+    rng = np.random.default_rng(11)
+    logits = jnp.asarray(rng.standard_normal((2, V)), jnp.float32)
+    expect = np.asarray(jnp.argmax(logits, axis=-1))
+    for seed in range(5):
+        tok = sample(
+            jax.random.PRNGKey(seed), logits, mk_state(batch=2),
+            arr(0.9, 0.9), jnp.array([40, 40]), arr(0.0, 0.0), arr(1.1, 1.1),
+        )
+        t = np.asarray(tok)
+        assert (t >= 0).all() and (t < V).all()
+        assert (t == expect).all()
+
+
+def test_tiny_top_p_keeps_only_top_candidate():
+    # top_p smaller than the top prob: keep exactly the argmax (inclusive
+    # crossing-token rule), never a lower-ranked candidate
+    logits = np.full(V, -1e9, np.float32)
+    logits[[5, 6]] = np.log([0.7, 0.3]).astype(np.float32)
+    for seed in range(50):
+        tok = sample(
+            jax.random.PRNGKey(seed), jnp.asarray(logits[None]), mk_state(),
+            arr(1.0), jnp.array([40]), arr(0.01), arr(1.0),
+        )
+        assert int(tok[0]) == 5

@@ -455,6 +455,24 @@ def test_render_chat_templates():
                        "hello [INST] more [/INST]")
     assert stops2 == ("[INST]",)
 
+    # LLaMA-3-Instruct header format (golden; no <|begin_of_text|> — the
+    # tokenizer adds bos — and NO text stops: the turn ends on the
+    # <|eot_id|> control id, which decode() strips from output text)
+    prompt3, stops3 = render_chat(msgs, "llama3")
+    assert prompt3 == (
+        "<|start_header_id|>system<|end_header_id|>\n\nbe brief<|eot_id|>"
+        "<|start_header_id|>user<|end_header_id|>\n\nhi<|eot_id|>"
+        "<|start_header_id|>assistant<|end_header_id|>\n\nhello<|eot_id|>"
+        "<|start_header_id|>user<|end_header_id|>\n\nmore<|eot_id|>"
+        "<|start_header_id|>assistant<|end_header_id|>\n\n")
+    assert stops3 == ()
+
+    # default resolution: explicit arg > env > vocab-hint default > plain
+    p_def, _ = render_chat(msgs[:2], default="llama3")
+    assert p_def.startswith("<|start_header_id|>system")
+    p_plain, _ = render_chat(msgs[:2])
+    assert p_plain.startswith("system: ")
+
     with pytest.raises(ValueError, match="unknown chat template"):
         render_chat(msgs, "chatml")
 
@@ -615,3 +633,47 @@ def test_tokenize_detokenize_endpoints(server):
     assert code == 400
     code, _ = req(server, "POST", "/detokenize", {"tokens": [99999999]})
     assert code == 400
+
+
+def test_sampler_params_validated_at_boundary(server):
+    """Out-of-range sampling params are 400s, not NaN factories: top_p=0
+    used to mask every nucleus candidate (probs/0 -> categorical over NaN
+    -> garbage tokens poisoning the slot); repeat_penalty=0 divides
+    logits by zero (ops/sampling.py:139-161)."""
+    bad = [
+        {"top_p": 0}, {"top_p": 0.0}, {"top_p": 1.5}, {"top_p": "x"},
+        {"temp": -1.0}, {"temp": -0.01},
+        {"repeat_penalty": 0}, {"repeat_penalty": -2.0},
+        {"top_k": -1}, {"top_k": 2.5}, {"top_k": True},
+        {"max_tokens": 0}, {"max_tokens": -3},
+        {"seed": "abc"}, {"deadline_s": -1},
+    ]
+    for extra in bad:
+        payload = {"id": str(uuid.uuid4()), "prompt": "hi", **extra}
+        code, body = req(server, "POST", "/jobs/", payload)
+        assert code == 400, (extra, code, body)
+    # boundary values that must PASS: top_p=1, temp=0, top_k=0 (full
+    # vocab), repeat_penalty just above zero
+    ok = {"id": str(uuid.uuid4()), "prompt": "hi", "top_p": 1.0,
+          "temp": 0.0, "top_k": 0, "repeat_penalty": 0.5, "max_tokens": 2}
+    code, body = req(server, "POST", "/jobs/", ok)
+    assert code == 200, body
+
+
+def test_openai_params_validated_at_boundary(server):
+    """The OpenAI surface rejects the same out-of-range params with the
+    OpenAI error envelope."""
+    for path, payload in (
+        ("/v1/completions", {"prompt": "hi", "top_p": 0}),
+        ("/v1/completions", {"prompt": "hi", "temperature": -1}),
+        ("/v1/completions", {"prompt": "hi", "max_tokens": 0}),
+        ("/v1/chat/completions",
+         {"messages": [{"role": "user", "content": "hi"}], "top_p": 0}),
+        ("/v1/chat/completions",
+         {"messages": [{"role": "user", "content": "hi"}],
+          "temperature": "warm"}),
+    ):
+        code, body = req(server, "POST", path, payload)
+        assert code == 400, (path, payload, code, body)
+        err = json.loads(body) if isinstance(body, str) else body
+        assert err["error"]["type"] == "invalid_request_error", err

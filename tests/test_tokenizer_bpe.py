@@ -148,7 +148,7 @@ def test_gguf_bpe_model_loads_and_generates(tmp_path):
     cfg = ckpt.config.replace(dtype="float32", weight_dtype="float32")
     params = load_parameters(cfg, ckpt.tensors)
     eng = Engine(cfg, params, ckpt.vocab, slots=1)
-    assert eng._eos == 1
+    assert eng._eos_ids == frozenset({1})
     job = eng.submit("hi", GenerateConfig(max_tokens=5, ctx_size=64, temp=0.0))
     for _ in range(200):
         eng.step()
@@ -272,3 +272,113 @@ def test_sp_vocab_survives_gguf_roundtrip():
         ckpt = read_checkpoint(path, max_seq_len=64)
     for i in range(len(vocab)):
         assert ckpt.vocab.id_to_piece(i) == vocab.id_to_piece(i), i
+
+
+def _llama3_style_vocab():
+    """Tiny vocab with the LLaMA-3 control-token set + all byte tokens."""
+    b2u = bytes_to_unicode()
+    specials = ["<|begin_of_text|>", "<|end_of_text|>",
+                "<|start_header_id|>", "<|end_header_id|>", "<|eot_id|>"]
+    tokens = specials + [b2u[b] for b in range(256)]
+    return BPEVocab(
+        tokens=tokens, merges={}, bos_id=0, eos_id=1, pattern="llama-bpe",
+        special_ids=frozenset(range(len(specials))),
+    )
+
+
+def test_special_tokens_split_to_control_ids():
+    """Chat markup must map to its single control id, never through
+    byte-BPE — otherwise a llama3 chat prompt feeds the model garbage
+    subword ids for <|start_header_id|> etc. (HF tokenizers' added-token
+    splitting; BPEVocab.encode's special pre-split)."""
+    v = _llama3_style_vocab()
+    ids = v.encode("<|start_header_id|>user<|end_header_id|>\n\nhi<|eot_id|>")
+    assert ids[0] == v.token_to_id["<|start_header_id|>"]
+    assert v.token_to_id["<|end_header_id|>"] in ids
+    assert ids[-1] == v.token_to_id["<|eot_id|>"]
+    # the plain text between controls still byte-encodes ("user" = 4 byte
+    # tokens here, no merges) and none of the control STRINGS leak into
+    # byte tokens: re-encoding without specials differs
+    plain = v.encode("user")
+    assert len(plain) == 4
+    # decode strips the controls, leaving only the text
+    assert v.decode(ids) == "user\n\nhi"
+
+
+def test_stop_ids_and_chat_hint():
+    v = _llama3_style_vocab()
+    assert v.token_to_id["<|eot_id|>"] in v.stop_ids
+    assert v.eos_id in v.stop_ids
+    assert v.chat_template_hint == "llama3"
+    # a vocab without the header controls hints nothing
+    b2u = bytes_to_unicode()
+    plain = BPEVocab(tokens=["<s>", "</s>"] + [b2u[b] for b in range(256)],
+                     merges={}, bos_id=0, eos_id=1)
+    assert plain.chat_template_hint is None
+    assert plain.stop_ids == frozenset({1})
+
+
+def test_chat_completions_on_bpe_vocab(tmp_path):
+    """Served /v1/chat/completions over a LLaMA-3-style BPE vocab: the
+    vocab hint selects the llama3 template, the rendered prompt tokenizes
+    headers to control ids, and generation stops on <|eot_id|> via the
+    engine's stop-id set (VERDICT r4 #6)."""
+    import dataclasses
+    import json as _json
+    import urllib.request
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from conftest import random_ggjt_tensors
+    from llamago_tpu.checkpoint.params import host_parameters
+    from llamago_tpu.config import MODEL_PRESETS, GenerateConfig, ServerConfig
+    from llamago_tpu.runtime.engine import Engine
+    from llamago_tpu.server.api import JobServer
+
+    vocab = _llama3_style_vocab()
+    config = dataclasses.replace(
+        MODEL_PRESETS["tiny"], vocab_size=len(vocab), max_seq_len=128,
+        dtype="float32", weight_dtype="float32",
+    )
+    tensors = random_ggjt_tensors(config, seed=21)
+    params = jax.tree.map(
+        lambda a: jnp.asarray(np.asarray(a, np.float32)),
+        host_parameters(config, tensors))
+    engine = Engine(config, params, vocab, slots=1,
+                    buckets=(32, 64, 128))
+    assert vocab.token_to_id["<|eot_id|>"] in engine._eos_ids
+
+    captured = {}
+    orig_submit = engine.submit
+
+    def spy_submit(prompt, gen, job_id=None):
+        captured["prompt"], captured["gen"] = prompt, gen
+        return orig_submit(prompt, gen, job_id=job_id)
+
+    engine.submit = spy_submit
+    server = JobServer(engine, ServerConfig(host="127.0.0.1", port=0),
+                       GenerateConfig(max_tokens=4, ctx_size=128, temp=0.0),
+                       model_name="tiny-bpe")
+    assert server.chat_template_default == "llama3"
+    server.start_background()
+    try:
+        body = _json.dumps({"messages": [
+            {"role": "user", "content": "hi"}]}).encode()
+        r = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/v1/chat/completions",
+            data=body, method="POST")
+        with urllib.request.urlopen(r, timeout=60) as resp:
+            assert resp.status == 200
+            out = _json.loads(resp.read())
+        assert out["choices"][0]["message"]["role"] == "assistant"
+        # vocab hint routed the render through the llama3 template...
+        assert captured["prompt"].startswith("<|start_header_id|>user")
+        assert captured["gen"].stop_at_eos
+        # ...and the engine tokenized the markup to control ids
+        ids = tokenize(vocab, captured["prompt"], bos=True)
+        assert ids[:2] == [vocab.bos_id,
+                           vocab.token_to_id["<|start_header_id|>"]]
+    finally:
+        server.shutdown()
