@@ -506,7 +506,7 @@ def bench_serve() -> dict:
                          temp=0.0 if speculative else 0.8, seed=11)
     t0 = time.time()
     warm_bucket = engine._bucket(prompt_tokens + 2)
-    warm_s = engine.warmup(max_bucket=warm_bucket)
+    warm_s = engine.warmup(max_bucket=warm_bucket, include_embed=False)
     sys.stderr.write(f"[bench-serve] init={init_s:.1f}s warmup={warm_s:.1f}s\n")
 
     server = JobServer(engine, ServerConfig(host="localhost", port=0), gen,
@@ -622,7 +622,8 @@ def bench_soak() -> dict:
     engine = Engine(config, params, vocab, slots=slots,
                     decode_chunk_size=chunk, prefill_chunk=256)
     gen = GenerateConfig(max_tokens=predict, ctx_size=ctx, temp=0.8, seed=11)
-    warm_s = engine.warmup(max_bucket=engine._bucket(prompt_tokens + 2))
+    warm_s = engine.warmup(max_bucket=engine._bucket(prompt_tokens + 2),
+                           include_embed=False)
     sys.stderr.write(f"[bench-soak] init={init_s:.1f}s warmup={warm_s:.1f}s\n")
 
     server = JobServer(engine, ServerConfig(host="localhost", port=0), gen,

@@ -136,6 +136,11 @@ def serve_lockstep(engine, job_server=None, poll_interval: float = 0.05,
                          "gen": gen_to_dict(j.gen)}
                         for j in pending
                     ],
+                    # embed requests ride the same agreement broadcast:
+                    # every process runs the identical collective-bearing
+                    # forward, the primary delivers the result to the
+                    # blocked HTTP handler (engine.embed_routed)
+                    "embeds": engine.drain_embeds(),
                     "expired": engine.expired_job_ids(),
                     "stop": bool(stop_when()) if stop_when is not None else False,
                 }
@@ -150,6 +155,8 @@ def serve_lockstep(engine, job_server=None, poll_interval: float = 0.05,
                                   job_id=s["id"])
                 engine.approve(len(msg["subs"]))
             engine.apply_expiry(msg["expired"])
+            embeds = msg.get("embeds", [])
+            engine.run_embeds(embeds)
             try:
                 busy = engine.step()
             except Exception as exc:  # noqa: BLE001 — engine must survive
@@ -158,7 +165,7 @@ def serve_lockstep(engine, job_server=None, poll_interval: float = 0.05,
                 busy = True
             if msg["stop"]:
                 return
-            if not busy and not msg["subs"]:
+            if not busy and not msg["subs"] and not embeds:
                 time.sleep(poll_interval)
     finally:
         if primary and job_server is not None:

@@ -222,6 +222,12 @@ class Engine:
         # then admits only the first _agreed_n jobs — the prefix every
         # process agreed on via broadcast (parallel/multihost.py).
         self._agreed_n: int | None = None
+        # lockstep embedding requests: handler threads must NOT run a
+        # collective-bearing forward on process 0 only (fleet deadlock) —
+        # under lockstep, embed requests queue here, ride the tick
+        # broadcast, and every process computes them (embed_routed below)
+        self._embed_pending: list[tuple[str, str, threading.Event, dict]] = []
+        self._embed_inflight: dict[str, tuple[threading.Event, dict]] = {}
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
@@ -285,11 +291,17 @@ class Engine:
         """
         prefix = " " if getattr(self.vocab, "space_prefix", True) else ""
         ids = tokenize(self.vocab, prefix + text, bos=True)
-        bucket = self._bucket(len(ids))
-        if len(ids) > bucket:
+        if len(ids) > self.buckets[-1]:
             raise ValueError(
                 f"input of {len(ids)} tokens exceeds the largest prefill "
                 f"bucket {self.buckets[-1]}")
+        return self._embed_ids(ids)
+
+    def _embed_ids(self, ids: list[int]) -> tuple[np.ndarray, int]:
+        """embed()'s device path, on token ids (warmup enters here per
+        bucket so the first /v1/embeddings request never pays a
+        mid-traffic compile — engine.py's warmup contract)."""
+        bucket = self._bucket(len(ids))
         padded = ids + [0] * (bucket - len(ids))
         cache = KVCache.create(self.config, batch=1, max_seq=bucket,
                                layered=self._cache_layered)
@@ -303,6 +315,63 @@ class Engine:
             return_embedding=True,
         )
         return np.asarray(emb[0], np.float32), len(ids)
+
+    def embed_routed(self, text: str, timeout_s: float = 120.0
+                     ) -> tuple[np.ndarray, int]:
+        """embed() that is safe to call from an HTTP handler thread.
+
+        Single-process: computes directly. Under lockstep admission
+        (multi-host SPMD), a handler-thread embed would run a
+        collective-bearing forward on process 0 ONLY — hanging every
+        other process at the collective (r4 VERDICT #4b). Instead the
+        request queues here, rides the next tick's agreement broadcast,
+        and EVERY process computes it (parallel/multihost.py
+        serve_lockstep -> run_embeds); the handler blocks on the result.
+        """
+        if self._agreed_n is None:
+            return self.embed(text)
+        done = threading.Event()
+        box: dict = {}
+        with self._lock:
+            self._embed_pending.append((str(uuid.uuid4()), text, done, box))
+        self._wake.set()
+        if not done.wait(timeout_s):
+            raise TimeoutError("embedding request timed out awaiting the "
+                               "lockstep tick")
+        if "error" in box:
+            raise box["error"]
+        return box["result"]
+
+    def drain_embeds(self) -> list[dict]:
+        """Primary, per tick: take queued embed requests for broadcast.
+        The waiter stays registered in _embed_inflight until run_embeds
+        (executed on every process) fulfills it."""
+        with self._lock:
+            pending, self._embed_pending = self._embed_pending, []
+            for rid, _text, done, box in pending:
+                self._embed_inflight[rid] = (done, box)
+        return [{"id": rid, "text": text} for rid, text, _, _ in pending]
+
+    def run_embeds(self, reqs: list[dict]) -> None:
+        """Every process, per tick: compute the broadcast embed requests
+        in broadcast order — identical jitted calls on every process, the
+        SPMD lockstep contract. Input errors (too-long text) are raised
+        by tokenize/bucket checks identically everywhere, so catching
+        them locally cannot diverge the fleet."""
+        for r in reqs:
+            try:
+                result, err = self.embed(r["text"]), None
+            except ValueError as e:
+                result, err = None, e
+            waiter = self._embed_inflight.pop(r["id"], None)
+            if waiter is None:  # replica: nobody is waiting
+                continue
+            done, box = waiter
+            if err is not None:
+                box["error"] = err
+            else:
+                box["result"] = result
+            done.set()
 
     # --------------------------------------------------------- admission
 
@@ -934,7 +1003,8 @@ class Engine:
 
     # ----------------------------------------------------------- warmup
 
-    def warmup(self, max_bucket: int | None = None) -> float:
+    def warmup(self, max_bucket: int | None = None,
+               include_embed: bool = True) -> float:
         """Pre-compile the serving-critical XLA programs — the ADMISSION
         path (reset_slots with a window array, bucketed push_tokens,
         prefill buckets) and the STEADY-STATE path (sampler, single-step
@@ -965,6 +1035,14 @@ class Engine:
             ids = [1] * min(b, self.config.max_seq_len - 2)
             self._push_slot_tokens(0, ids)
             self._prefill(0, ids, write_pos=0)
+            if include_embed:
+                # /v1/embeddings runs a DIFFERENT program per bucket
+                # (batch-1 forward, return_embedding) — unwarmed, the
+                # first embeddings request paid a 3.5-200 s mid-traffic
+                # compile on remote-compile transports (r4 VERDICT #5).
+                # Benches that never serve embeddings skip via
+                # include_embed=False.
+                self._embed_ids(ids)
         # steady state: sampler + single-step forward + chunked decode,
         # with the exact steady-state pytree structures
         temp = np.full(self.n_slots, 1.0, np.float32)

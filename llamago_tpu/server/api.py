@@ -429,13 +429,20 @@ def _make_handler(server: JobServer):
             data, total = [], 0
             try:
                 for i, text in enumerate(inputs):
-                    emb, n_tok = server.engine.embed(text)
+                    # embed_routed, NOT embed: under multi-host lockstep a
+                    # handler-thread forward on process 0 only would hang
+                    # the fleet at its first collective; the routed path
+                    # rides the agreement broadcast (runtime/engine.py)
+                    emb, n_tok = server.engine.embed_routed(text)
                     total += n_tok
                     data.append({"object": "embedding", "index": i,
                                  "embedding": [float(v) for v in emb]})
             except ValueError as e:
                 return self._send(400, {"error": {
                     "message": str(e), "type": "invalid_request_error"}})
+            except TimeoutError as e:
+                return self._send(503, {"error": {
+                    "message": str(e), "type": "server_error"}})
             self._send(200, {
                 "object": "list",
                 "model": server.model_name,

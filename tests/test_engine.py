@@ -1,6 +1,9 @@
 """Engine tests: generation loop, context swap, multi-slot independence,
 job lifecycle (reference behaviors: pkg/server/server.go:110-278)."""
 
+import threading
+import time
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -272,3 +275,93 @@ def test_layered_engine_speculative(engine_setup):
     a = spec.generate("hello world", GREEDY)
     b = plain.generate("hello world", GREEDY)
     assert a.output_tokens == b.output_tokens
+
+
+def test_embed_routed_direct_when_single_process(engine_setup):
+    config, params, vocab = engine_setup
+    eng = Engine(config, params, vocab, slots=1, buckets=(16, 32, 64))
+    direct, n1 = eng.embed("hello world")
+    routed, n2 = eng.embed_routed("hello world")
+    assert n1 == n2
+    assert np.allclose(direct, routed)
+
+
+def test_embed_routed_queues_under_lockstep(engine_setup):
+    """Under lockstep admission, embed_routed must NOT touch the device
+    from the caller thread (that is the multi-host deadlock, r4 VERDICT
+    #4b): it queues, and the tick loop (drain -> broadcast -> run) both
+    computes and delivers the result."""
+    config, params, vocab = engine_setup
+    eng = Engine(config, params, vocab, slots=1, buckets=(16, 32, 64))
+    want, _ = eng.embed("hello world")
+    eng.enable_lockstep_admission()
+
+    got = {}
+    t = threading.Thread(
+        target=lambda: got.update(zip(("emb", "n"),
+                                      eng.embed_routed("hello world"))))
+    t.start()
+    # simulate the serve_lockstep tick: drain on the primary, run on all
+    for _ in range(100):
+        reqs = eng.drain_embeds()
+        if reqs:
+            assert reqs[0]["text"] == "hello world"
+            eng.run_embeds(reqs)
+            break
+        time.sleep(0.02)
+    t.join(timeout=30)
+    assert not t.is_alive()
+    assert got["n"] > 0 and np.allclose(got["emb"], want)
+
+    # input errors are delivered to the waiter, not swallowed
+    err = {}
+
+    def too_long():
+        try:
+            eng.embed_routed("x " * 500)
+        except ValueError as e:
+            err["e"] = e
+
+    t2 = threading.Thread(target=too_long)
+    t2.start()
+    for _ in range(100):
+        reqs = eng.drain_embeds()
+        if reqs:
+            eng.run_embeds(reqs)
+            break
+        time.sleep(0.02)
+    t2.join(timeout=30)
+    assert "exceeds the largest prefill bucket" in str(err["e"])
+
+
+def test_warmup_covers_embed_programs(engine_setup):
+    """warmup(include_embed=True) pre-compiles the per-bucket embed
+    programs, so the first /v1/embeddings request never pays a
+    mid-traffic compile (r4 VERDICT #5). Verified via jax's compile log:
+    zero new compilations during the post-warmup embed call."""
+    import logging
+
+    config, params, vocab = engine_setup
+    eng = Engine(config, params, vocab, slots=2, buckets=(16, 32, 64))
+    eng.warmup()
+
+    import jax
+
+    logger = logging.getLogger("jax._src.dispatch")
+    records = []
+    handler = logging.Handler()
+    handler.emit = records.append
+    old_level = logger.level
+    logger.addHandler(handler)
+    logger.setLevel(logging.DEBUG)
+    try:
+        jax.config.update("jax_log_compiles", True)
+        emb, n = eng.embed("hello world")
+    finally:
+        jax.config.update("jax_log_compiles", False)
+        logger.removeHandler(handler)
+        logger.setLevel(old_level)
+    compiles = [r.getMessage() for r in records
+                if "compil" in r.getMessage().lower()]
+    assert not compiles, compiles
+    assert n > 0 and emb.shape == (config.dim,)

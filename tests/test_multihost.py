@@ -230,11 +230,21 @@ if pid == 0:
             time.sleep(0.1)
         result.update(json.loads(urllib.request.urlopen(
             base + f"/jobs/{jid}", timeout=5).read()))
+        # /v1/embeddings under lockstep: the handler thread must NOT run
+        # the tp-sharded (collective-bearing) forward on process 0 only —
+        # that deadlocked the fleet (r4 VERDICT #4b). embed_routed rides
+        # the agreement broadcast; both processes compute it this tick.
+        ebody = json.dumps({"input": "embed me"}).encode()
+        er = json.loads(urllib.request.urlopen(
+            urllib.request.Request(base + "/v1/embeddings", data=ebody),
+            timeout=60).read())
+        result["emb_len"] = len(er["data"][0]["embedding"])
         done.set()
 
     threading.Thread(target=client, daemon=True).start()
     serve_lockstep(engine, server, stop_when=done.is_set)
     assert result.get("status") == "finished", result
+    assert result.get("emb_len") == config.dim, result
     final = broadcast_pytree({"id": result["id"], "output": result["output"]})
 else:
     serve_lockstep(engine, None)
