@@ -445,7 +445,11 @@ def bench_decode() -> dict:
     return {
         "metric": (f"decode_tokens_per_sec_{model_name}_{weight_dtype}_greedy_b{batch}"
                    + ("_kvq" if config.kv_dtype == "int8" else "")
-                   + ("_spec" if speculative else "")),
+                   + ("_spec" if speculative else "")
+                   # non-default ctx is part of the name so same-config
+                   # artifacts at different contexts stay distinguishable
+                   + (f"_ctx{ctx}" if ctx != (1024 if on_tpu else 128)
+                      else "")),
         "kv_dtype": config.kv_dtype,
         "ctx": ctx,
         "value": round(toks_per_s, 2),
@@ -567,8 +571,11 @@ def bench_serve() -> dict:
     return {
         "metric": (f"served_tokens_per_sec_{model_name}_{weight_dtype}"
                    f"_slots{slots}"
-                   + ("_kvq" if config.kv_dtype == "int8" else "")),
+                   + ("_kvq" if config.kv_dtype == "int8" else "")
+                   + (f"_ctx{ctx}" if ctx != (1024 if on_tpu else 128)
+                      else "")),
         "kv_dtype": config.kv_dtype,
+        "ctx": ctx,
         "value": round(served_tps, 2),
         "unit": "tokens/s",
         "vs_baseline": round(served_tps / REFERENCE_7B_FP32_CPU_TOKS, 2),

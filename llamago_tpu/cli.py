@@ -225,9 +225,9 @@ def _load_engine(args):
         # the experimental 'axon' remote-TPU plugin compiles on a helper
         # machine; cached XLA:CPU entries then reload with mismatched
         # host features and can SIGILL — no persistent cache there
-        from jax._src import xla_bridge
+        from llamago_tpu.utils.transport import is_tunneled_tpu
 
-        return "axon" in xla_bridge.backends()
+        return is_tunneled_tpu()
 
     if jax.default_backend() == "tpu" and not _tunneled_tpu():
         # persistent XLA compile cache: server/CLI restarts skip

@@ -166,8 +166,16 @@ def can_fuse_attention_quant_local(q: jnp.ndarray, k_cache: jnp.ndarray) -> bool
         return False
     if not _LENAWARE or t > 32:
         return False
-    kh, sb = _decode_tiles(t, g, kv, s, hd, k_cache.dtype.itemsize)
+    kh, sb = _decode_tiles(t, g, kv, s, hd, _QUANT_EFF_ITEMSIZE)
     return kh is not None
+
+
+# Effective per-element VMEM bytes of the int8 kernel's K/V blocks: the
+# int8 block itself (1) PLUS the bf16 widened copy the kernel materializes
+# (2) — budgeting with itemsize=1 let geometries pass the _KV_BYTES_MAX
+# gate and then exhaust VMEM at compile time (~3x the budgeted bytes once
+# the f32 scale blocks, sb/hd of the block size, are counted too).
+_QUANT_EFF_ITEMSIZE = 3
 
 
 # Length-aware decode kernel (t <= 32): the whole-S kernel above this
@@ -382,7 +390,9 @@ def _flash_attention_lenaware_quant(q5, k_cache, v_cache, k_scale, v_scale,
                                     pos0, scale):
     b, t, kv, g, hd = q5.shape
     s = k_cache.shape[2]
-    kh, sb = _decode_tiles(t, g, kv, s, hd, k_cache.dtype.itemsize)
+    # must agree with can_fuse_attention_quant_local's budget (effective
+    # itemsize: int8 block + the in-kernel bf16 widened copy)
+    kh, sb = _decode_tiles(t, g, kv, s, hd, _QUANT_EFF_ITEMSIZE)
     n_sb = s // sb
 
     def kv_index(bi, ki, si, pos_ref):

@@ -61,10 +61,17 @@ def _set_row(arr, idx, row):
 
 
 def _host(arr) -> np.ndarray:
-    """Device -> host copy via a fresh on-device buffer (defensive:
-    direct np.asarray of a jit output has been observed to stall over
-    tunneled TPU transports; a staged copy matches bench.py's reliable
-    sync pattern). See docs/SERVING.md environment notes."""
+    """Device -> host copy. Over the tunneled remote-TPU transport,
+    direct np.asarray of a jit output has been observed to stall; a
+    staged copy through a fresh on-device buffer matches bench.py's
+    reliable sync pattern (docs/SERVING.md environment notes). The
+    staging is an extra on-device concatenate per host sync, so real
+    (non-tunneled) TPU hosts skip it (utils/transport.py; override with
+    LLAMAGO_FORCE_STAGED_HOST_COPY for A/B)."""
+    from llamago_tpu.utils.transport import staged_host_copy
+
+    if not staged_host_copy():
+        return np.asarray(arr)
     flat = jnp.ravel(arr)
     staged = jnp.concatenate([flat, flat[:1]])[:-1]  # forced fresh buffer
     return np.asarray(staged).reshape(arr.shape)
