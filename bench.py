@@ -420,20 +420,51 @@ def bench_decode() -> dict:
     # read; a speculative step verifies draft+1 tokens per read), plus the
     # KV-cache read of ~position rows per token. This is the numerator of
     # the roofline claim; the denominator is the measured copy bandwidth.
+    # Per-stream split (VERDICT r4 #2: say WHERE the bytes go). The
+    # scale-plane stream matters: one scale per 128-element int8 head
+    # row is itemsize/128 of the row's own bytes, for BOTH K and V.
+    from llamago_tpu.runtime.kv_cache import scale_dtype
+    scale_itemsize = scale_dtype().itemsize
     if config.kv_dtype == "int8":
-        # int8 cache: 1 byte/element + one f32 scale per head row
-        kv_row = config.n_layers * 2 * config.kv_heads * (config.head_dim + 4)
+        kv_val_row = config.n_layers * 2 * config.kv_heads * config.head_dim
+        kv_scale_row = config.n_layers * 2 * config.kv_heads * scale_itemsize
     else:
         kv_itemsize = 2  # bf16 cache
-        kv_row = (config.n_layers * 2 * config.kv_heads
-                  * config.head_dim * kv_itemsize)
+        kv_val_row = (config.n_layers * 2 * config.kv_heads
+                      * config.head_dim * kv_itemsize)
+        kv_scale_row = 0
     end_pos = int(pos.max())
     avg_pos = (start_pos + end_pos) / 2.0  # mean position over TIMED steps
-    kv_bytes_per_tok = kv_row * avg_pos  # read; the 1-row write is negligible
+    # nominal reads assume exactly `pos` rows; the length-aware kernel
+    # actually DMAs whole sb-row blocks, so its real traffic is the
+    # block-rounded figure (reported separately, not in the roofline
+    # numerator — the roofline credits useful bytes only)
+    from llamago_tpu.ops.attention import _SB as attn_sb
+    blk_pos = (int(avg_pos) // attn_sb + 1) * attn_sb
+    kv_bytes_per_tok = (kv_val_row + kv_scale_row) * avg_pos
     weight_gb = weight_bytes * forward_steps / 1e9
     kv_gb = kv_bytes_per_tok * produced / 1e9
+    kv_val_gb = kv_val_row * avg_pos * produced / 1e9
+    kv_scale_gb = kv_scale_row * avg_pos * produced / 1e9
+    kv_blk_gb = (kv_val_row + kv_scale_row) * blk_pos * produced / 1e9
     achieved_gbps = (weight_gb + kv_gb) / dt
     roofline_pct = 100.0 * achieved_gbps / hbm_gbps if hbm_gbps else 0.0
+    step_ms = dt / forward_steps * 1000.0 if forward_steps else 0.0
+    streams = {
+        "weights_gb_per_s": round(weight_gb / dt, 1),
+        "kv_values_gb_per_s": round(kv_val_gb / dt, 1),
+        "kv_scales_gb_per_s": round(kv_scale_gb / dt, 1),
+        # what the sb-block-granular kernel actually moves (incl. the
+        # rounded-up tail block) — the gap to `gbps` is DMA overhead the
+        # roofline does not credit
+        "kv_block_rounded_gb_per_s": round(kv_blk_gb / dt, 1),
+        "step_ms": round(step_ms, 2),
+        # residual = step time minus what the measured ceiling says the
+        # credited bytes need; this is the "where does the rest go" number
+        "residual_ms_per_step": round(
+            step_ms - (weight_gb + kv_gb) / forward_steps * 1000.0
+            / hbm_gbps, 2) if hbm_gbps and forward_steps else None,
+    }
 
     sys.stderr.write(
         f"[bench] backend={jax.default_backend()} model={model_name} "
@@ -458,6 +489,7 @@ def bench_decode() -> dict:
         "gbps": round(achieved_gbps, 1),
         "hbm_gbps": round(hbm_gbps, 1),
         "roofline_pct": round(roofline_pct, 1),
+        "streams": streams,
         **hbm_detail,
     }
 

@@ -75,7 +75,7 @@ def _update_scale(scale_layer: jnp.ndarray, new: jnp.ndarray, write_pos: jnp.nda
     """Write new per-row scales [B, T, KV] into the scale buffer
     [B, KV, S] at per-batch offsets (same unroll rationale as
     _update_cache above)."""
-    new = new.transpose(0, 2, 1)  # [B, KV, T]
+    new = new.transpose(0, 2, 1).astype(scale_layer.dtype)  # [B, KV, T]
     b = scale_layer.shape[0]
     zero = jnp.zeros((), write_pos.dtype)
     if b == 1:
@@ -228,14 +228,26 @@ def forward_impl(
 
         if not _BYPASS_CACHE:  # elimination probe, see module foot
             if ks_l is not None:
-                # int8 cache: per-row quantize the new K/V, store packed
-                # values + scales (runtime/kv_cache.py)
-                kq, ks_new = quantize_kv_rows(k)
-                vq, vs_new = quantize_kv_rows(v)
-                k_layer = _update_cache(k_layer, kq, write_pos)
-                v_layer = _update_cache(v_layer, vq, write_pos)
-                ks_l = _update_scale(ks_l, ks_new, write_pos)
-                vs_l = _update_scale(vs_l, vs_new, write_pos)
+                from llamago_tpu.ops.cache_write import (
+                    cache_append_quant,
+                    can_fuse_cache_append,
+                )
+
+                if can_fuse_cache_append(k, k_layer):
+                    # decode: ONE fused quantize+append kernel replaces
+                    # 4*b per-row dynamic_update_slice chains per layer
+                    # (~1.5 ms/step at 7B b=8 — r5 elimination probe)
+                    k_layer, v_layer, ks_l, vs_l = cache_append_quant(
+                        k_layer, v_layer, ks_l, vs_l, k, v, write_pos)
+                else:
+                    # prefill / speculative windows / meshes: per-row
+                    # quantize + DUS (runtime/kv_cache.py)
+                    kq, ks_new = quantize_kv_rows(k)
+                    vq, vs_new = quantize_kv_rows(v)
+                    k_layer = _update_cache(k_layer, kq, write_pos)
+                    v_layer = _update_cache(v_layer, vq, write_pos)
+                    ks_l = _update_scale(ks_l, ks_new, write_pos)
+                    vs_l = _update_scale(vs_l, vs_new, write_pos)
             else:
                 k_layer = _update_cache(k_layer, k.astype(k_layer.dtype),
                                         write_pos)

@@ -385,6 +385,95 @@ def _attn_decode_kernel_quant(pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
         )
 
 
+def _attn_decode_kernel_quant_i8dot(pos_ref, q_ref, k_ref, v_ref, ks_ref,
+                                    vs_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                                    scale, g, kh, sb, n_sb, hd, t):
+    """int8-MXU variant of _attn_decode_kernel_quant (r5).
+
+    The widening variant above is VPU-bound, not DMA-bound: at 7B b=8
+    ctx1024 the cache stream is ~1.4G int8 elements/step and each pays
+    an int8->bf16 widen (~585G elem/s), so attention measured 2.5 ms
+    against a 1.9 ms DMA floor (r5 elimination probes). Here the cache
+    NEVER touches the VPU:
+
+      scores: q is quantized per (head, row) once per program (rows =
+        t*g elements, trivial), then int8 x int8 MXU dots accumulate
+        int32 — exact given the quantized operands; the k row scales,
+        q row scales, and 1/sqrt(hd) fold into the f32 score.
+      pv:     p*sv (the scale-folded probabilities) are quantized to
+        int8 per row against their own max, int8 x int8 dot, row scale
+        folded back on the output.
+
+    Added error vs the widening kernel: int8 rounding of q (<=0.4%
+    relative on scores) and of p*sv (<=0.4% on the output mix) — gated
+    by the kv_int8 quality-gate row next to the cache quantization
+    itself. LLAMAGO_ATTN_I8DOT=0 restores the widening kernel."""
+    bi = pl.program_id(0)
+    si = pl.program_id(2)
+    pos0 = pos_ref[bi]
+    last_blk = jnp.minimum((pos0 + t - 1) // sb, n_sb - 1)
+    rows = t * g
+
+    @pl.when(si == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, _MASK)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    @pl.when(si <= last_blk)
+    def _compute():
+        q = (q_ref[0].transpose(1, 0, 2, 3).reshape(kh, rows, hd)
+             .astype(jnp.float32))
+        qa = jnp.max(jnp.abs(q), axis=-1)                   # [kh, rows]
+        sq = jnp.where(qa > 0, qa / 127.0, 1.0)
+        q8 = jnp.clip(jnp.round(q / sq[..., None]), -127, 127
+                      ).astype(jnp.int8)
+        sk = ks_ref[0].astype(jnp.float32)                  # [kh, sb]
+        s_blk = jax.lax.dot_general(
+            q8, k_ref[0], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (scale * sq)[..., None]     # [kh, rows, sb]
+        s_blk = s_blk * sk[:, None, :]
+
+        qpos = (pos0
+                + jax.lax.broadcasted_iota(jnp.int32, (kh, rows, sb), 1) // g)
+        spos = (si * sb
+                + jax.lax.broadcasted_iota(jnp.int32, (kh, rows, sb), 2))
+        s_blk = jnp.where(spos <= qpos, s_blk, _MASK)
+
+        m_prev = m_ref[:, :, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s_blk, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s_blk - m_new)
+        l_ref[...] = (l_ref[...] * alpha
+                      + jnp.sum(p, axis=-1, keepdims=True))
+        sv = vs_ref[0].astype(jnp.float32)                  # [kh, sb]
+        psv = p * sv[:, None, :]                            # [kh, rows, sb]
+        pa = jnp.max(psv, axis=-1)  # psv >= 0 (exp * positive scale)
+        sp = jnp.where(pa > 0, pa / 127.0, 1.0)
+        p8 = jnp.clip(jnp.round(psv / sp[..., None]), -127, 127
+                      ).astype(jnp.int8)
+        pv = jax.lax.dot_general(
+            p8, v_ref[0], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * sp[..., None]
+        acc_ref[...] = acc_ref[...] * alpha + pv
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(si == n_sb - 1)
+    def _finalize():
+        out = acc_ref[...] / l_ref[:, :, :1]
+        o_ref[0] = (
+            out.reshape(kh, t, g, hd).transpose(1, 0, 2, 3).astype(o_ref.dtype)
+        )
+
+
+# int8-MXU decode attention over the int8 cache (see kernel docstring);
+# default ON once gated — LLAMAGO_ATTN_I8DOT=0 reverts to the widening
+# kernel for A/B.
+_I8DOT = _os.environ.get("LLAMAGO_ATTN_I8DOT", "1") == "1"
+
+
 @functools.partial(jax.jit, static_argnames=("scale",))
 def _flash_attention_lenaware_quant(q5, k_cache, v_cache, k_scale, v_scale,
                                     pos0, scale):
@@ -422,9 +511,11 @@ def _flash_attention_lenaware_quant(q5, k_cache, v_cache, k_scale, v_scale,
             pltpu.VMEM((kh, rows, 128), jnp.float32),
         ],
     )
+    kern = _attn_decode_kernel_quant_i8dot if _I8DOT \
+        else _attn_decode_kernel_quant
     out = pl.pallas_call(
         functools.partial(
-            _attn_decode_kernel_quant, scale=scale, g=g, kh=kh, sb=sb,
+            kern, scale=scale, g=g, kh=kh, sb=sb,
             n_sb=n_sb, hd=hd, t=t,
         ),
         grid_spec=grid_spec,

@@ -29,12 +29,26 @@ costs O(S) per head instead of O(S*head_dim) — see ops/attention.py.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 
 from llamago_tpu.config import ModelConfig
+
+# Storage dtype of the int8 cache's per-row scale planes [L, B, KV, S].
+# Negative result (measured r5, 7B b=8 ctx1024 decode): the scale-plane
+# stream is ~3 GB/s of a ~700 GB/s step with f32 scales — 0.4% — so the
+# r4-VERDICT suggestion to store them bf16 buys run-noise-level time
+# while costing scale exactness (bf16 rounds the per-row scale by up to
+# 2^-9, which measurably flips greedy tokens on small models). f32 stays
+# the default; LLAMAGO_KV_SCALE_DTYPE=bfloat16 keeps the A/B alive.
+_SCALE_DTYPE_NAME = os.environ.get("LLAMAGO_KV_SCALE_DTYPE", "float32")
+
+
+def scale_dtype():
+    return jnp.dtype(_SCALE_DTYPE_NAME)
 
 
 @jax.tree_util.register_dataclass
@@ -113,8 +127,8 @@ class KVCache:
         s_shard = None
         if sharding is not None:
             s_shard = _drop_axes(sharding, len(shape), drop_last=1)
-        ks = mk(s_shape, jnp.float32, s_shard)
-        vs = mk(s_shape, jnp.float32, s_shard)
+        ks = mk(s_shape, scale_dtype(), s_shard)
+        vs = mk(s_shape, scale_dtype(), s_shard)
         return KVCache(k=k, v=v, ks=ks, vs=vs)
 
 

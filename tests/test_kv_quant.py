@@ -264,3 +264,45 @@ def test_speculative_decode_quantized(tiny_setup):
                             for j in range(c[b, i])])
         streams[cfg.kv_dtype] = emitted
     assert streams["auto"] == streams["int8"]
+
+
+def test_fused_cache_append_matches_dus(_interpret_kernels):
+    """The fused quantize+append kernel (ops/cache_write.py) writes
+    exactly what the quantize_kv_rows + dynamic_update_slice path writes,
+    and leaves every other cache row untouched (r5: replaces 4*b per-row
+    DUS chains per layer, ~1.5 ms/step at 7B b=8 decode)."""
+    from llamago_tpu.models.llama import _update_cache, _update_scale
+    from llamago_tpu.ops.cache_write import (
+        cache_append_quant,
+        can_fuse_cache_append,
+    )
+
+    B, KV, S, hd = 3, 4, 128, 128
+    rng = np.random.default_rng(7)
+    ck = jnp.asarray(rng.integers(-5, 5, (B, KV, S, hd)), jnp.int8)
+    cv = jnp.asarray(rng.integers(-5, 5, (B, KV, S, hd)), jnp.int8)
+    cks = jnp.asarray(rng.standard_normal((B, KV, S)), jnp.float32)
+    cvs = jnp.asarray(rng.standard_normal((B, KV, S)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((B, 1, KV, hd)), jnp.bfloat16)
+    vn = jnp.asarray(rng.standard_normal((B, 1, KV, hd)), jnp.bfloat16)
+    pos = jnp.asarray([0, 9, 127], jnp.int32)  # incl. both edges
+    assert can_fuse_cache_append(kn, ck)
+
+    k2, v2, ks2, vs2 = cache_append_quant(ck, cv, cks, cvs, kn, vn, pos)
+
+    kq, ks_new = quantize_kv_rows(kn)
+    vq, vs_new = quantize_kv_rows(vn)
+    k_want = _update_cache(ck, kq, pos)
+    v_want = _update_cache(cv, vq, pos)
+    ks_want = _update_scale(cks, ks_new, pos)
+    vs_want = _update_scale(cvs, vs_new, pos)
+    np.testing.assert_array_equal(np.asarray(k2), np.asarray(k_want))
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(v_want))
+    np.testing.assert_allclose(np.asarray(ks2), np.asarray(ks_want),
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(vs2), np.asarray(vs_want),
+                               rtol=1e-3)
+    # gates: prefill (t>1) and non-quantized caches stay on the DUS path
+    assert not can_fuse_cache_append(
+        jnp.zeros((B, 4, KV, hd), jnp.bfloat16), ck)
+    assert not can_fuse_cache_append(kn, ck.astype(jnp.bfloat16))
