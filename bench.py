@@ -305,6 +305,11 @@ def bench_decode() -> dict:
         "BENCH_CHUNK", ("16" if spec_mode else "128") if on_tpu else "16"
     ))
     batch = int(os.environ.get("BENCH_BATCH", "1"))  # decode slots (serving shape)
+    # BENCH_TEMP > 0 runs the FULL sampler each step (temperature +
+    # repeat penalty + top-k/top-p at the reference defaults,
+    # main.go:87-90) — the BASELINE config-2 "sampled decode" shape;
+    # default is greedy argmax
+    bench_temp = float(os.environ.get("BENCH_TEMP", "0"))
     prompt_len = 64 if on_tpu else 8
 
     hbm_detail: dict = {}
@@ -381,15 +386,26 @@ def bench_decode() -> dict:
 
         st = SamplerState.create(batch, 1, config.vocab_size)
         rngs = jax.vmap(jax.random.PRNGKey)(jnp.zeros(batch, jnp.int32))
+        sample_kw = {}
+        if bench_temp > 0:
+            sample_kw = dict(
+                greedy=False,
+                temp=jnp.full(batch, bench_temp, jnp.float32),
+                top_k=jnp.full(batch, 40, jnp.int32),
+                top_p=jnp.full(batch, 0.95, jnp.float32),
+                repeat_penalty=jnp.full(batch, 1.10, jnp.float32),
+            )
         t0 = time.time()
         toks, cache, pos, st, rngs = decode_chunk(
-            params, tok, cache, pos, config, chunk, rngs=rngs, state=st
+            params, tok, cache, pos, config, chunk, rngs=rngs, state=st,
+            **sample_kw
         )
         _sync(toks)
         # second warmup — see the speculative branch note: the first
         # post-compile call is up to 2x slower on this transport.
         toks, cache, pos, st, rngs = decode_chunk(
-            params, toks[:, -1], cache, pos, config, chunk, rngs=rngs, state=st
+            params, toks[:, -1], cache, pos, config, chunk, rngs=rngs, state=st,
+            **sample_kw
         )
         _sync(toks)
         warmup_s = time.time() - t0
@@ -405,7 +421,8 @@ def bench_decode() -> dict:
         while (produced < n_tokens or chunks_done < 2) and (
                 pos_host + chunk <= ctx):
             toks, cache, pos, st, rngs = decode_chunk(
-                params, toks[:, -1], cache, pos, config, chunk, rngs=rngs, state=st
+                params, toks[:, -1], cache, pos, config, chunk, rngs=rngs,
+                state=st, **sample_kw
             )
             produced += chunk * batch
             forward_steps += chunk
@@ -474,7 +491,9 @@ def bench_decode() -> dict:
         f"achieved={achieved_gbps:.0f} GB/s ({roofline_pct:.0f}%)\n"
     )
     return {
-        "metric": (f"decode_tokens_per_sec_{model_name}_{weight_dtype}_greedy_b{batch}"
+        "metric": (f"decode_tokens_per_sec_{model_name}_{weight_dtype}_"
+                   + ("sampled" if bench_temp > 0 else "greedy")
+                   + f"_b{batch}"
                    + ("_kvq" if config.kv_dtype == "int8" else "")
                    + ("_spec" if speculative else "")
                    # non-default ctx is part of the name so same-config
@@ -932,6 +951,24 @@ def bench_matrix() -> dict:
 
     headline = record("decode_7b_int8", {"BENCH_WEIGHT_DTYPE": "int8"}, bench_decode)
     record("decode_7b_int4", {"BENCH_WEIGHT_DTYPE": "int4"}, bench_decode)
+    # BASELINE config-matrix anchors (r4 VERDICT #7):
+    # - configs 1-2 are FP32-denominated; 7B fp32 weights are 26 GB and
+    #   13B fp32 are 52 GB — neither fits a 16 GB v5e chip, so the fp32
+    #   rows are INFEASIBLE single-chip (recorded here, not silently
+    #   skipped). bf16 is the de-facto dense anchor (13.5 GB, fits);
+    # - the sampled row covers config 2's temperature/top-k/top-p shape
+    #   with the reference's default sampler params (main.go:87-90).
+    results.append({
+        "metric": "decode_7B_fp32_infeasible_note",
+        "value": 0, "unit": "n/a",
+        "note": ("BASELINE configs 1-2 are FP32: 7B fp32 = 26 GB weights "
+                 "> 16 GB v5e HBM (13B fp32 = 52 GB). Infeasible "
+                 "single-chip by capacity, not by kernel support; "
+                 "decode_7b_bf16 is the dense-weights anchor."),
+    })
+    record("decode_7b_bf16", {"BENCH_WEIGHT_DTYPE": "bfloat16"}, bench_decode)
+    record("decode_7b_int8_sampled",
+           {"BENCH_WEIGHT_DTYPE": "int8", "BENCH_TEMP": "0.5"}, bench_decode)
     for b in (2, 4, 8):
         record(f"decode_7b_int8_b{b}",
                {"BENCH_WEIGHT_DTYPE": "int8", "BENCH_BATCH": str(b)},
@@ -950,6 +987,14 @@ def bench_matrix() -> dict:
            {"BENCH_WEIGHT_DTYPE": "int8", "BENCH_BATCH": "8",
             "BENCH_KV_DTYPE": "int8", "BENCH_CTX": "2048",
             "BENCH_TOKENS": "1024"},
+           bench_decode)
+    # ctx-4096 long-context proof point (r4 VERDICT #10): the length-
+    # aware kernel's fill-proportional reads should hold tok/s far above
+    # the padded-S era; 8 slots x 4096 only fits with the int8 cache.
+    record("decode_7b_int8_b8_ctx4096_kvq",
+           {"BENCH_WEIGHT_DTYPE": "int8", "BENCH_BATCH": "8",
+            "BENCH_KV_DTYPE": "int8", "BENCH_CTX": "4096",
+            "BENCH_TOKENS": "2048"},
            bench_decode)
     import jax as _jax
 
@@ -977,6 +1022,10 @@ def bench_matrix() -> dict:
     record("serve_7b_int8_slots8_ctx2048_kvq",
            {"BENCH_WEIGHT_DTYPE": "int8", "BENCH_PODS": "8",
             "BENCH_CTX": "2048", "BENCH_TOKENS": "96",
+            "BENCH_KV_DTYPE": "int8"}, bench_serve)
+    record("serve_7b_int8_slots8_ctx4096_kvq",
+           {"BENCH_WEIGHT_DTYPE": "int8", "BENCH_PODS": "8",
+            "BENCH_CTX": "4096", "BENCH_TOKENS": "96",
             "BENCH_KV_DTYPE": "int8"}, bench_serve)
     if os.environ.get("BENCH_MATRIX_SOAK", "1") == "1":
         record("serve_soak", {"BENCH_WEIGHT_DTYPE": "int8"}, bench_soak)

@@ -166,16 +166,32 @@ def can_fuse_attention_quant_local(q: jnp.ndarray, k_cache: jnp.ndarray) -> bool
         return False
     if not _LENAWARE or t > 32:
         return False
-    kh, sb = _decode_tiles(t, g, kv, s, hd, _QUANT_EFF_ITEMSIZE)
+    kh, sb = _quant_decode_tiles(t, g, kv, s, hd)
     return kh is not None
 
 
-# Effective per-element VMEM bytes of the int8 kernel's K/V blocks: the
-# int8 block itself (1) PLUS the bf16 widened copy the kernel materializes
-# (2) — budgeting with itemsize=1 let geometries pass the _KV_BYTES_MAX
-# gate and then exhaust VMEM at compile time (~3x the budgeted bytes once
-# the f32 scale blocks, sb/hd of the block size, are counted too).
+# Effective per-element VMEM bytes of the int8 WIDENING kernel's K/V
+# blocks: the int8 block itself (1) PLUS the bf16 widened copy it
+# materializes (2) — budgeting with itemsize=1 let geometries pass the
+# _KV_BYTES_MAX gate and then exhaust VMEM at compile time (~3x the
+# budgeted bytes once the f32 scale blocks are counted too). The i8dot
+# kernel never widens, so its effective itemsize is 1 and it runs a
+# 3x larger budget: on v5e 7B b=8 that lifts kh 8 -> 32, cutting the
+# grid from 128 to 32 programs — the per-program overhead was the
+# attention residual (measured 603.9 -> 658.6 tok/s, 12.15 ms/step,
+# 89.6% of the same-run read-BW ceiling).
 _QUANT_EFF_ITEMSIZE = 3
+_KV_BYTES_MAX_I8 = int(_os.environ.get(
+    "LLAMAGO_ATTN_KV_BYTES_I8", 6 * 1024 * 1024))
+
+
+def _quant_decode_tiles(t: int, g: int, kv: int, s: int, hd: int):
+    """Tile choice for the quantized decode kernels — budget matches the
+    active variant's real VMEM footprint (see note above)."""
+    if _I8DOT:
+        return _decode_tiles(t, g, kv, s, hd, 1,
+                             kv_bytes_max=_KV_BYTES_MAX_I8)
+    return _decode_tiles(t, g, kv, s, hd, _QUANT_EFF_ITEMSIZE)
 
 
 # Length-aware decode kernel (t <= 32): the whole-S kernel above this
@@ -192,17 +208,19 @@ _SB = int(_os.environ.get("LLAMAGO_ATTN_SB", "256"))
 _MASK = -1e9  # finite: -inf - -inf = nan would poison the online stats
 
 
-def _decode_tiles(t: int, g: int, kv: int, s: int, hd: int, itemsize: int):
+def _decode_tiles(t: int, g: int, kv: int, s: int, hd: int, itemsize: int,
+                  kv_bytes_max: int | None = None):
     """(kh heads per program, S-block rows) for the length-aware kernel."""
+    budget = kv_bytes_max if kv_bytes_max is not None else _KV_BYTES_MAX
     sb = _SB
     while sb > 8 and s % sb:
         sb //= 2
     if s % sb or t > 32:
         return None, None
     kh = kv
-    while kh > 1 and (kv % kh or 2 * kh * sb * hd * itemsize > _KV_BYTES_MAX):
+    while kh > 1 and (kv % kh or 2 * kh * sb * hd * itemsize > budget):
         kh -= 1
-    if 2 * kh * sb * hd * itemsize > _KV_BYTES_MAX:
+    if 2 * kh * sb * hd * itemsize > budget:
         return None, None
     if 4 * kh * t * g * sb > _SCORE_BYTES_MAX:
         return None, None
@@ -479,9 +497,9 @@ def _flash_attention_lenaware_quant(q5, k_cache, v_cache, k_scale, v_scale,
                                     pos0, scale):
     b, t, kv, g, hd = q5.shape
     s = k_cache.shape[2]
-    # must agree with can_fuse_attention_quant_local's budget (effective
-    # itemsize: int8 block + the in-kernel bf16 widened copy)
-    kh, sb = _decode_tiles(t, g, kv, s, hd, _QUANT_EFF_ITEMSIZE)
+    # must agree with can_fuse_attention_quant_local's budget (variant-
+    # dependent: widened copy vs raw int8 — see _quant_decode_tiles)
+    kh, sb = _quant_decode_tiles(t, g, kv, s, hd)
     n_sb = s // sb
 
     def kv_index(bi, ki, si, pos_ref):
