@@ -35,6 +35,30 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REFERENCE_7B_FP32_CPU_TOKS = 1.5  # documented estimate, see module docstring
 
 
+def _provenance() -> dict:
+    """Stamp every artifact with when/what produced it (r4 VERDICT #1:
+    stale artifacts poisoned the evidence trail — a reader must be able
+    to tell which kernels a number was measured with)."""
+    import subprocess
+
+    try:
+        rev = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or "unknown"
+    except Exception:
+        rev = "unknown"
+    import jax
+
+    return {
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "git_rev": rev,
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+
+
 def _setup_jax():
     import jax
 
@@ -838,13 +862,18 @@ def bench_shard70b() -> dict:
     key = jax.random.PRNGKey(0)
     bits = int(os.environ.get("BENCH_BITS", "4"))
 
+    # int4 exec format: w4x8 (bitcast unpack + int8 MXU dots, see
+    # ops/kernels.py) unless LLAMAGO_INT4_EXEC=q4_0 forces the ggml
+    # group-32 layout for A/B
+    w4x8 = bits == 4 and quant.int4_exec_format() == "w4x8"
+
     def make_layer(i):
         nonlocal key
         layer = {}
         for name, (k_, n_) in shapes.items():
             key, sub = jax.random.split(key)
             w = jax.random.normal(sub, (k_, n_), jnp.bfloat16) * 0.02
-            layer[name] = quant.quantize(w, bits)
+            layer[name] = quant.quantize_w4x8(w) if w4x8 else quant.quantize(w, bits)
         return layer
 
     stack = [make_layer(i) for i in range(layers)]
@@ -854,7 +883,7 @@ def bench_shard70b() -> dict:
                for part in stack[0][name]}
         for name in shapes
     }
-    _sync(stacked["w2"]["q4"])
+    _sync(next(iter(stacked["w2"].values())))
     weight_bytes = sum(
         leaf.size * leaf.dtype.itemsize for leaf in jax.tree.leaves(stacked)
     )
@@ -937,6 +966,7 @@ def bench_matrix() -> dict:
         os.environ.update(env)
         try:
             r = fn()
+            r.update(_provenance())
             results.append(r)
             with open(f"bench_artifacts/{name}.json", "w") as f:
                 json.dump(r, f, indent=1)
@@ -965,6 +995,7 @@ def bench_matrix() -> dict:
                  "> 16 GB v5e HBM (13B fp32 = 52 GB). Infeasible "
                  "single-chip by capacity, not by kernel support; "
                  "decode_7b_bf16 is the dense-weights anchor."),
+        **_provenance(),
     })
     record("decode_7b_bf16", {"BENCH_WEIGHT_DTYPE": "bfloat16"}, bench_decode)
     record("decode_7b_int8_sampled",
@@ -1040,7 +1071,9 @@ def main() -> None:
     fn = {"decode": bench_decode, "serve": bench_serve,
           "soak": bench_soak, "hbm": bench_hbm, "matrix": bench_matrix,
           "shard70b": bench_shard70b}[mode]
-    print(json.dumps(fn()))
+    r = fn()
+    r.update(_provenance())
+    print(json.dumps(r))
 
 
 if __name__ == "__main__":

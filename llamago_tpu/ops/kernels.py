@@ -174,6 +174,8 @@ def can_fuse_local(x: jnp.ndarray, w: dict) -> bool:
     m = 1
     for d in x.shape[:-1]:
         m *= d
+    if "q4x" in w:
+        return _plan_w4x8_tiles(m, k, n) is not None
     bits = 8 if "q8" in w else 4
     return _plan_tiles(m, k, n, bits) is not None
 
@@ -281,6 +283,191 @@ def _dequant_mm_kernel(x_ref, q_ref, s_ref, o_ref, *, bits: int, tk: int, tn: in
         )
 
 
+# ------------------------------------------------------------- w4x8
+# Exec-format kernels for int4 decode (ops/quant.py quantize_w4x8):
+# interleaved centered nibbles unpack with ONE pltpu.bitcast (hardware
+# sublane expand, verified order on v5e) instead of the mask/shift/
+# concat VPU chain that pinned Q4_0 at ~42% of the read roofline
+# (BENCH_r04 shard70b analysis). Decode shapes then quantize the (tiny)
+# activation per (row, 128-group) and run depth-128 int8 MXU dots with
+# both scale sets folded on the output: measured 473 GB/s at the 70B
+# w13 shard shape vs 242 for the Q4_0 chain (scripts/kernel_lab.py
+# bitcast_i4_i8dot_g128, 2026-08-20), with pure block-DMA topping out
+# at 568-592 GB/s on the same layout — the kernel is DMA-shaped now,
+# not VPU-bound. Prefill shapes keep f32 dequant (exact w4x8 numerics)
+# but get the bitcast unpack.
+
+from llamago_tpu.ops.quant import G4X8
+
+# Activation int8 quantization changes decode numerics (bounded by the
+# per-(row,group) absmax scale); the quality gate carries a w4x8 row.
+# Rows above this use the f32 stream kernel (exact given the format).
+_W4X8_A8_MAX_M = int(_os.environ.get("LLAMAGO_W4X8_A8_MAX_M", "16"))
+
+
+def _w4x8_decode_kernel(xq_ref, sx_ref, q_ref, s_ref, o_ref, *, tk, tn, tm):
+    """One (n, k) grid step of the W4A8 decode matmul: hardware int4
+    unpack, tk/128 depth-128 int8 MXU dots, scales folded per group on
+    the [tm, tn] output. Weight-side VPU work: one narrow convert.
+    Scale rows are the format's duplicated group-64 view, so every read
+    below is a STATIC row index (see quantize_w4x8)."""
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    w8 = pltpu.bitcast(q_ref[:], jnp.int4).astype(jnp.int8)  # [tk, tn]
+    groups = tk // G4X8
+    acc = jnp.zeros((tm, tn), jnp.float32)
+    for g in range(groups):
+        xg = xq_ref[:, g * G4X8:(g + 1) * G4X8]          # [tm, 128] int8
+        wg = w8[g * G4X8:(g + 1) * G4X8, :]              # [128, tn] int8
+        d = jax.lax.dot_general(xg, wg, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        sg = s_ref[2 * g].astype(jnp.float32)            # [tn]
+        sxg = sx_ref[2 * g].astype(jnp.float32)          # [tm]
+        acc = acc + d.astype(jnp.float32) * sxg[:, None] * sg[None, :]
+    o_ref[:] += acc
+
+
+def _w4x8_stream_kernel(x_ref, q_ref, s_ref, o_ref, *, tk, tn):
+    """Prefill/training path: bitcast unpack -> f32 dequant -> f32 dot.
+    Exact w4x8 numerics (no activation quantization); same structure as
+    _dequant_mm_kernel but the unpack is one hardware convert. The
+    group-64 duplicated scale rows broadcast directly over 64-row
+    spans — no strided reads."""
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    half = G4X8 // 2
+    s = s_ref[:].astype(jnp.float32)                     # [tk/64, tn]
+    q = pltpu.bitcast(q_ref[:], jnp.int4).astype(jnp.float32)
+    w = (q.reshape(tk // half, half, tn) * s[:, None, :]).reshape(tk, tn)
+    o_ref[:] += jnp.dot(x_ref[:].astype(jnp.float32), w,
+                        preferred_element_type=jnp.float32)
+
+
+def _w4x8_tk(k: int) -> int | None:
+    """Contraction tile. Constraints: tk | k, tk % 128 == 0 (whole scale
+    groups), and tk/64 >= 8 sublanes for the per-tile scale block unless
+    tk == k (equal-to-array blocks are always legal). 512 profiled best
+    within VMEM on v5e (tk=1024 +2% but models past the budget)."""
+    if k % G4X8:
+        return None
+    if k % 512 == 0:
+        return 512
+    for t in range(512, k, 128):  # smallest 128-aligned divisor >= 512
+        if k % t == 0:
+            return t
+    return k
+
+
+def _plan_w4x8_tiles(m: int, k: int, n: int) -> tuple[int, int] | None:
+    """(tk, tn) for the w4x8 kernels. Swept on v5e at the 70B shard
+    shape: rate rises with tn (full-width best: 464.6 GB/s at tk=512
+    tn=7168 vs 418 at tn=3584) and tk=512 is the largest contraction
+    tile whose real footprint (double-buffered packed block + the
+    materialized int8 copy) stays inside VMEM — tk=1024 measured +2%
+    but models at 14.6 MB against the 14 MB budget and compiles only by
+    losing double buffering on larger shapes."""
+    if m > 1024:
+        return None
+    tk = _w4x8_tk(k)
+    if tk is None:
+        return None
+    tm = max(8, m)
+    for tn in _aligned_divisors_desc(n, cap=_DECODE_TN_CAP):
+        est = (
+            2 * (tk // 2) * tn       # packed u8 block, double-buffered
+            + tk * tn                # int8 unpack target
+            + (tk * tn * 4 if tm > _W4X8_A8_MAX_M else tm * tk)
+            + tm * tn * 4            # f32 output tile
+            + 2 * (tk // 64) * tn * 2  # scale block (bf16, dup rows)
+        )
+        if est <= _VMEM_BUDGET:
+            return tk, tn
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _w4x8_matmul_2d(x: jnp.ndarray, q: jnp.ndarray, s: jnp.ndarray):
+    m, k = x.shape
+    n = s.shape[-1]
+    tk, tn = _plan_w4x8_tiles(m, k, n)  # callers gate via can_fuse
+    tm = max(8, m)
+    if m < tm:
+        x = jnp.pad(x, ((0, tm - m), (0, 0)))
+
+    grid = (n // tn, k // tk)
+    q_spec = pl.BlockSpec((tk // 2, tn), lambda ni, ki: (ki, ni),
+                          memory_space=pltpu.VMEM)
+    # per-tile block over the duplicated group-64 scale rows: tk/64 >= 8
+    # sublanes by _w4x8_tk's construction (or equal to the array dim)
+    s_spec = pl.BlockSpec((tk // 64, tn), lambda ni, ki: (ki, ni),
+                          memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((tm, tn), lambda ni, ki: (0, ni),
+                          memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=2 * tm * k * n,
+        bytes_accessed=k * n // 2 + tm * k + tm * n * 4,
+        transcendentals=0,
+    )
+    # n-tiles are independent; the k dim accumulates into the same
+    # output tile (measured +2.6% from declaring this at the shard shape)
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"))
+    if tm <= _W4X8_A8_MAX_M:
+        groups = k // G4X8
+        x3 = x.astype(jnp.float32).reshape(tm, groups, G4X8)
+        x3 = x3.transpose(1, 0, 2)                       # [groups, tm, G]
+        amax = jnp.max(jnp.abs(x3), axis=2)              # [groups, tm]
+        sx = jnp.where(amax > 0, amax / 127.0, 1.0).astype(jnp.float32)
+        xq = jnp.clip(jnp.round(x3 / sx[:, :, None]),
+                      -127, 127).astype(jnp.int8)
+        xq = xq.transpose(1, 0, 2).reshape(tm, k)
+        # duplicated rows, mirroring the weight-scale layout: the kernel
+        # reads row 2g of a per-tile (tk/64, tm) block — static index
+        sx = jnp.repeat(sx, 2, axis=0)                   # [k/64, tm]
+        out = pl.pallas_call(
+            functools.partial(_w4x8_decode_kernel, tk=tk, tn=tn, tm=tm),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tm, tk), lambda ni, ki: (0, ki),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tk // 64, tm), lambda ni, ki: (ki, 0),
+                             memory_space=pltpu.VMEM),
+                q_spec,
+                s_spec,
+            ],
+            out_specs=o_spec,
+            out_shape=jax.ShapeDtypeStruct((tm, n), jnp.float32),
+            cost_estimate=cost,
+            compiler_params=params,
+            interpret=_interpret(),
+        )(xq, sx, q, s)
+        return out[:m]
+    out = pl.pallas_call(
+        functools.partial(_w4x8_stream_kernel, tk=tk, tn=tn),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tk), lambda ni, ki: (0, ki),
+                         memory_space=pltpu.VMEM),
+            q_spec,
+            s_spec,
+        ],
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct((tm, n), jnp.float32),
+        cost_estimate=cost,
+        compiler_params=params,
+        interpret=_interpret(),
+    )(x, q, s)
+    return out[:m]
+
+
 # Rows at/below which the scale-on-output kernel is used. Profiled on
 # v5e: its per-block MXU dots (contraction QK=32) are latency-bound and
 # it measured NO faster than the streaming kernel with the f32 dot
@@ -349,13 +536,16 @@ def dequant_matmul(x: jnp.ndarray, w: dict) -> jnp.ndarray:
     weights are frozen, which is exactly the QLoRA-style fine-tuning
     contract. Weight cotangents are symbolic zeros.
     """
-    bits = 8 if "q8" in w else 4
-    q = w["q8"] if bits == 8 else w["q4"]
     *lead, k = x.shape
     m = 1
     for d in lead:
         m *= d
-    out = _dequant_matmul_2d(x.reshape(m, k), q, w["s"], bits)
+    if "q4x" in w:
+        out = _w4x8_matmul_2d(x.reshape(m, k), w["q4x"], w["s"])
+    else:
+        bits = 8 if "q8" in w else 4
+        q = w["q8"] if bits == 8 else w["q4"]
+        out = _dequant_matmul_2d(x.reshape(m, k), q, w["s"], bits)
     return out.reshape(*lead, w["s"].shape[-1]).astype(x.dtype)
 
 

@@ -35,6 +35,32 @@ from llamago_tpu.config import ModelConfig
 
 QK = 32  # block size (reference: pkg/ml/ml.go:24)
 
+# w4x8 exec-format scale-group size. 128 = MXU systolic depth: the
+# decode kernel folds scales per group on the output of depth-128 int8
+# MXU dots (ops/kernels.py), so groups below 128 would issue
+# latency-bound dots (measured in r3's w4a8 lab runs) and groups above
+# it would coarsen quantization for no extra MXU efficiency.
+G4X8 = 128
+
+# int4 execution format (TPU decode): "w4x8" re-lays int4 weights at
+# load time into bitcast-ready interleaved nibbles with group-128
+# scales so the decode kernel can run hardware int4->int8 converts +
+# int8 MXU dots (measured 473 GB/s vs 242 for the Q4_0 f32-dequant
+# chain at the 70B shard shape — scripts/kernel_lab.py bitcast_i4_*).
+# "q4_0" keeps the file format at runtime (exact ggml group-32
+# numerics). Default: w4x8 on TPU, q4_0 elsewhere (CPU tests exercise
+# w4x8 explicitly via this env knob + interpret-mode kernels).
+_INT4_EXEC_ENV = "LLAMAGO_INT4_EXEC"
+
+
+def int4_exec_format() -> str:
+    import os
+
+    v = os.environ.get(_INT4_EXEC_ENV)
+    if v in ("w4x8", "q4_0"):
+        return v
+    return "w4x8" if jax.default_backend() == "tpu" else "q4_0"
+
 # parameter leaves that get quantized (matmul weights only; embeddings and
 # norms stay in the compute dtype, standard weight-only practice)
 QUANT_LEAVES = {"wq", "wk", "wv", "wo", "w1", "w2", "w3", "output"}
@@ -98,7 +124,8 @@ def lm_head_padded_cols(vocab_size: int) -> int:
 
 
 def is_quantized(w) -> bool:
-    return isinstance(w, dict) and "s" in w and ("q8" in w or "q4" in w)
+    return (isinstance(w, dict) and "s" in w
+            and ("q8" in w or "q4" in w or "q4x" in w))
 
 
 @partial(jax.jit, static_argnames=("bits",))
@@ -141,6 +168,69 @@ def quantize(w: jnp.ndarray, bits: int = 8) -> dict:
     raise ValueError(f"unsupported bits: {bits}")
 
 
+@jax.jit
+def quantize_w4x8(w: jnp.ndarray) -> dict:
+    """Quantize [..., in, out] to the w4x8 exec format: CENTERED signed
+    nibbles (-8..7, no +8 offset) packed interleaved — byte r holds rows
+    2r (lo nibble) and 2r+1 (hi) — which is exactly the sublane order
+    `pltpu.bitcast(u8, int4)` produces on v5e (verified on hardware and
+    in interpret mode), so the kernel unpack is ONE hardware convert
+    instead of the mask/shift/concat VPU chain. Scales per 128-group
+    along the input dim (vs Q4_0's 32): the group must span a full
+    depth-128 int8 MXU dot for output scale folding.
+
+    Same ggml sign trick as Q4_0 (scale = signed extreme / -8) so the
+    full -8..7 range is used."""
+    *lead, k, n = w.shape
+    assert k % G4X8 == 0, f"in-dim {k} not divisible by group {G4X8}"
+    groups = k // G4X8
+    xb = w.astype(jnp.float32).reshape(*lead, groups, G4X8, n)
+    idx = jnp.argmax(jnp.abs(xb), axis=-2, keepdims=True)
+    signed_max = jnp.take_along_axis(xb, idx, axis=-2)[..., 0, :]
+    d = (signed_max / -8.0).astype(jnp.bfloat16)
+    df = d.astype(jnp.float32)
+    inv = jnp.where(df != 0, 1.0 / jnp.where(df != 0, df, 1.0), 0.0)
+    q = jnp.clip(jnp.round(xb * inv[..., None, :]), -8, 7).astype(jnp.int8)
+    pairs = q.reshape(*lead, k // 2, 2, n)
+    lo = (pairs[..., 0, :] & 0xF).astype(jnp.uint8)
+    hi = (pairs[..., 1, :] & 0xF).astype(jnp.uint8)
+    packed = (lo | (hi << 4)).astype(jnp.uint8)
+    # Scales ship DUPLICATED x2 ([k/64, n], row pairs identical — a
+    # group-64 view of the group-128 scales): a k-tile's scale block
+    # then has tk/64 >= 8 sublanes, which Mosaic's block rules require,
+    # and every in-kernel scale read is a static row index (dynamic
+    # single-row reads fail to compile: "cannot statically prove that
+    # index ... is a multiple of 8", measured on v5e). Costs 2x the
+    # scale bytes = ~3% of the packed weight stream.
+    return {"q4x": packed, "s": jnp.repeat(d, 2, axis=-2)}
+
+
+def unpack_w4x8(packed: jnp.ndarray) -> jnp.ndarray:
+    """Packed w4x8 [..., in/2, out] uint8 -> centered int8 [..., in, out]
+    (interleaved pairing: byte r -> elements 2r, 2r+1)."""
+    *lead, half, n = packed.shape
+    p = packed.astype(jnp.int32)
+    lo = (p & 0xF)
+    hi = ((p >> 4) & 0xF)
+    lo = jnp.where(lo > 7, lo - 16, lo).astype(jnp.int8)
+    hi = jnp.where(hi > 7, hi - 16, hi).astype(jnp.int8)
+    inter = jnp.stack([lo, hi], axis=-2)  # [..., in/2, 2, out]
+    return inter.reshape(*lead, half * 2, n)
+
+
+def w4x8_from_leaf(w: dict) -> dict:
+    """Re-lay an ingested int4 leaf (Q4_0; Q4_1 affine stays as-is) into
+    the w4x8 exec format: exact dequantization of the group-32 blocks,
+    then group-128 requantization. The extra rounding step is what the
+    quality gate's w4x8 row measures (eval/quality_gate.py)."""
+    if "q4" not in w or "m" in w:
+        return w
+    k = w["q4"].shape[-2] * 2
+    if k % G4X8 != 0:
+        return w
+    return quantize_w4x8(dequantize(w, jnp.float32))
+
+
 def unpack_q4(packed: jnp.ndarray) -> jnp.ndarray:
     """Packed [..., in/2, out] uint8 -> centered int [..., in, out]
     (ggml block pairing: byte j -> elements j, j+16 within each block)."""
@@ -158,6 +248,11 @@ def dequantize(w: dict, dtype=jnp.float32) -> jnp.ndarray:
     Q4_0, and Q4_1 (affine: presence of "m" mins) leaves."""
     if "q8" in w:
         q = w["q8"].astype(jnp.float32)
+    elif "q4x" in w:
+        q = unpack_w4x8(w["q4x"]).astype(jnp.float32)
+        # s rows are duplicated group-64 views of the group-128 scales
+        s = jnp.repeat(w["s"].astype(jnp.float32), G4X8 // 2, axis=-2)
+        return (q * s).astype(dtype)
     else:
         q = unpack_q4(w["q4"]).astype(jnp.float32)
         if "m" in w:
@@ -213,15 +308,22 @@ def quantize_params(config: ModelConfig, params, shardings=None):
     def shard_of(tree, key):
         return None if shardings is None else tree[key]
 
+    exec_w4x8 = bits == 4 and int4_exec_format() == "w4x8"
+
     def handle(key, leaf, sh):
         if is_quantized(leaf):  # pre-quantized (e.g. Q8_0/Q4_0 file blocks)
             leaf = {k: jnp.asarray(v) for k, v in leaf.items()}
+            if exec_w4x8:
+                leaf = w4x8_from_leaf(leaf)  # no-op for q8/q4_1/odd dims
             return _shard_quantized(leaf, sh)
         if (key in QUANT_LEAVES
                 and np.shape(leaf)[-2] % QK == 0):
             # leaves whose in-dim doesn't divide the block size stay
             # dense (mixed files: the quantizer leaves them dense too)
-            return _shard_quantized(quantize(jnp.asarray(leaf, dtype), bits), sh)
+            arr = jnp.asarray(leaf, dtype)
+            if exec_w4x8 and np.shape(leaf)[-2] % G4X8 == 0:
+                return _shard_quantized(quantize_w4x8(arr), sh)
+            return _shard_quantized(quantize(arr, bits), sh)
         return put(jnp.asarray(leaf, dtype), sh)
 
     out = {"layers": {}}

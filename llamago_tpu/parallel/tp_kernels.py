@@ -110,14 +110,17 @@ def maybe_tp_matmul(x: jnp.ndarray, w: dict, kind: str | None):
     dp = mesh.shape.get("dp", 1)
     k = x.shape[-1]
     n = w["s"].shape[-1]
-    qkey = "q8" if "q8" in w else "q4"
+    qkey = "q8" if "q8" in w else ("q4x" if "q4x" in w else "q4")
+    # row-sharding must keep whole scale groups per shard (w4x8 groups
+    # are 128 wide vs the Q4_0/Q8_0 32)
+    blk = 128 if qkey == "q4x" else QK
 
     if kind == "col" and tp > 1 and n % tp == 0:
         w_specs = {qkey: P(None, "tp"), "s": P(None, "tp")}
         xs = _x_spec(x, dp, None)
         os = _x_spec(x, dp, "tp")
         body = _local_matmul
-    elif kind == "row" and tp > 1 and k % (QK * tp) == 0:
+    elif kind == "row" and tp > 1 and k % (blk * tp) == 0:
         w_specs = {qkey: P("tp", None), "s": P("tp", None)}
         xs = _x_spec(x, dp, "tp")
         os = _x_spec(x, dp, None)

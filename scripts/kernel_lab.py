@@ -13,8 +13,11 @@ Run: python scripts/kernel_lab.py [variant ...]
 from __future__ import annotations
 
 import functools
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -253,6 +256,164 @@ def kern_dma_only(x_ref, q_ref, s_ref, o_ref, *, tk, tn):
                  + 0.0 * s_ref[0:1, :] + 0.0 * jnp.sum(x_ref[:].astype(jnp.float32)))
 
 
+def kern_dma_pure(x_ref, q_ref, s_ref, o_ref, *, tk, tn):
+    """TRUE DMA-only probe: the BlockSpec still copies the full [tk/2, tn]
+    q block HBM->VMEM every grid step (the pallas pipeline fetches blocks
+    regardless of body use), but the body reads only an 8-row corner —
+    near-zero VPU work. Separates block-DMA rate from dma_only's
+    full-array i32 convert+sum: if this runs at the copy ceiling while
+    dma_only pins at ~311 GB/s, the bound is the VPU read of sub-byte
+    data, not the DMA engine."""
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    corner = q_ref[0:8, :].astype(jnp.int32).astype(jnp.float32)  # 8 rows
+    o_ref[:] += (jnp.sum(corner, axis=0, keepdims=True)
+                 + 0.0 * s_ref[0:1, :] + 0.0 * jnp.sum(x_ref[:].astype(jnp.float32)))
+
+
+def kern_bitcast_i4(x_ref, q_ref, s_ref, o_ref, *, tk, tn):
+    """In-kernel u8 -> int4 bitcast + hardware int4->f32 convert. The r3
+    finding closed the S4 path at the TRANSPORT jit boundary
+    (RecursionError passing S4 arrays as jit args); this probe never
+    crosses that boundary — weights stay packed u8 in HBM, and the
+    reinterpret happens on the VMEM block inside the kernel. If Mosaic
+    lowers the int4 convert in hardware, the decode chain collapses to
+    convert+FMA. Nibble order is whatever the bitcast gives (a fixed k
+    permutation — absorbable by pre-permuting x and scales), so this is
+    throughput-only; see skip list in correctness()."""
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    blocks = tk // QK
+    s = s_ref[:].astype(jnp.float32)
+    i4 = pltpu.bitcast(q_ref[:], jnp.int4)              # [tk, tn] int4
+    q = i4.astype(jnp.float32).reshape(blocks, QK, tn)
+    w = (q * s[:, None, :]).reshape(tk, tn)
+    o_ref[:] += jnp.dot(x_ref[:].astype(jnp.float32), w,
+                        preferred_element_type=jnp.float32)
+
+
+def kern_bitcast_i4_bf16(x_ref, q_ref, s_ref, o_ref, *, tk, tn):
+    """bitcast_i4 with the convert targeting bf16 and a bf16 dot —
+    int4->bf16 may have a cheaper hardware path than int4->f32."""
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    blocks = tk // QK
+    s = s_ref[:].astype(jnp.bfloat16)
+    i4 = pltpu.bitcast(q_ref[:], jnp.int4)
+    q = i4.astype(jnp.bfloat16).reshape(blocks, QK, tn)
+    w = (q * s[:, None, :]).reshape(tk, tn)
+    o_ref[:] += jnp.dot(x_ref[:].astype(jnp.bfloat16), w,
+                        preferred_element_type=jnp.float32)
+
+
+def kern_bitcast_i4_i8dot(xq_ref, sx_ref, q_ref, s_ref, o_ref, *, tk, tn, tm):
+    """The full-win candidate: u8 -> int4 bitcast, hardware int4 -> int8
+    convert (1 VPU pass), then ONE full-tk int8 MXU dot with both scale
+    sets folded on the output (a8full execution format: activation
+    scales per (k-tile, row), weight scales constant over tk).
+    Weight-side VPU work: a single narrow convert."""
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    i4 = pltpu.bitcast(q_ref[:], jnp.int4)              # [tk, tn]
+    w8 = i4.astype(jnp.int8)
+    acc = jax.lax.dot_general(xq_ref[:], w8, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    s0 = s_ref[0].astype(jnp.float32)
+    sx = sx_ref[ki].astype(jnp.float32)                 # [tm] (this k-tile)
+    o_ref[:] += acc.astype(jnp.float32) * sx[:, None] * s0[None, :]
+
+
+def kern_bitcast_i4_i4dot(xq_ref, sx_ref, q_ref, s_ref, o_ref, *, tk, tn, tm):
+    """bitcast_i4_i8dot WITHOUT the int8 convert: the int4 vector feeds
+    the MXU dot directly (int8 x int4 -> int32). If Mosaic lowers mixed
+    int4 operands natively this runs at the pure-DMA bound."""
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    i4 = pltpu.bitcast(q_ref[:], jnp.int4)              # [tk, tn]
+    acc = jax.lax.dot_general(xq_ref[:], i4, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    s0 = s_ref[0].astype(jnp.float32)
+    sx = sx_ref[ki].astype(jnp.float32)                 # [tm] (this k-tile)
+    o_ref[:] += acc.astype(jnp.float32) * sx[:, None] * s0[None, :]
+
+
+G128 = 128  # scale-group size for the _g128 exec-format variants
+
+
+def kern_bitcast_i4_i8dot_g128(xq_ref, sx_ref, q_ref, s_ref, o_ref, *,
+                               tk, tn, tm):
+    """bitcast_i4_i8dot with GROUP-128 scale folding: one hardware
+    int4->int8 convert of the whole [tk, tn] block, then tk/128 depth-128
+    int8 MXU dots, each folding its own weight-scale row (and activation
+    scale) on the output. Keeps quantization grouping at the standard 128
+    (vs the fulltk variant's tk-sized groups) at the cost of tk/128
+    output-scaling passes over [tm, tn]."""
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    i4 = pltpu.bitcast(q_ref[:], jnp.int4)              # [tk, tn]
+    w8 = i4.astype(jnp.int8)
+    groups = tk // G128
+    acc = jnp.zeros((tm, tn), jnp.float32)
+    for g in range(groups):
+        xg = xq_ref[:, g * G128:(g + 1) * G128]         # [tm, 128] int8
+        wg = w8[g * G128:(g + 1) * G128, :]             # [128, tn] int8
+        d = jax.lax.dot_general(xg, wg, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        sg = s_ref[g].astype(jnp.float32)               # [tn]
+        sxg = sx_ref[ki * groups + g].astype(jnp.float32)  # [tm]
+        acc = acc + d.astype(jnp.float32) * sxg[:, None] * sg[None, :]
+    o_ref[:] += acc
+
+
+def kern_bitcast_i4_i8dot_g128_lazy(xq_ref, sx_ref, q_ref, s_ref, o_ref, *,
+                                    tk, tn, tm):
+    """g128 with the int8 convert done PER GROUP inside the dot loop
+    instead of materializing the whole [tk, tn] int8 block — less VMEM
+    live at once, possibly better convert/dot interleave."""
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    i4 = pltpu.bitcast(q_ref[:], jnp.int4)              # [tk, tn]
+    groups = tk // G128
+    acc = jnp.zeros((tm, tn), jnp.float32)
+    for g in range(groups):
+        xg = xq_ref[:, g * G128:(g + 1) * G128]
+        wg = i4[g * G128:(g + 1) * G128, :].astype(jnp.int8)
+        d = jax.lax.dot_general(xg, wg, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        sg = s_ref[g].astype(jnp.float32)
+        sxg = sx_ref[ki * groups + g].astype(jnp.float32)
+        acc = acc + d.astype(jnp.float32) * sxg[:, None] * sg[None, :]
+    o_ref[:] += acc
+
+
 def kern_split(x_ref, q_ref, s_ref, o_ref, *, tk, tn, tm):
     """No-concat variant: the lo/hi nibble planes are each CONTIGUOUS in
     the packed layout ([blocks,16,tn] rows), so instead of concatenating
@@ -463,7 +624,7 @@ def kern_w8a8_fulltk(xq_ref, sx_ref, q_ref, s_ref, o_ref, *, tk, tn, tm):
         xq_ref[:], q_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)               # [tm, tn] int8 MXU
     s0 = s_ref[0].astype(jnp.float32)                   # [tn]
-    sx = sx_ref[0].astype(jnp.float32)                  # [tm]
+    sx = sx_ref[ki].astype(jnp.float32)                 # [tm] (this k-tile)
     o_ref[:] += acc.astype(jnp.float32) * sx[:, None] * s0[None, :]
 
 
@@ -657,6 +818,17 @@ VARIANTS = {
     "decode_only": (kern_decode_only, {}),
     "decode_bitcast": (kern_decode_bitcast, {}),
     "dma_only": (kern_dma_only, {}),
+    "dma_pure": (kern_dma_pure, {}),
+    "bitcast_i4": (kern_bitcast_i4, {}),
+    "bitcast_i4_bf16": (kern_bitcast_i4_bf16, {}),
+    "bitcast_i4_i8dot": (kern_bitcast_i4_i8dot,
+                         {"needs_tm": True, "hoist": "a8full"}),
+    "bitcast_i4_i4dot": (kern_bitcast_i4_i4dot,
+                         {"needs_tm": True, "hoist": "a8full"}),
+    "bitcast_i4_i8dot_g128": (kern_bitcast_i4_i8dot_g128,
+                              {"needs_tm": True, "hoist": "a8g128"}),
+    "bitcast_i4_i8dot_g128_lazy": (kern_bitcast_i4_i8dot_g128_lazy,
+                                   {"needs_tm": True, "hoist": "a8g128"}),
 }
 
 
@@ -726,7 +898,9 @@ def make_call(kern, opts, k, n, m, tk, tn, fmt):
         # execution-format contract (scales constant over the tk span)
         xqspec = pl.BlockSpec((tm, tk), lambda ni, ki: (0, ki),
                               memory_space=pltpu.VMEM)
-        sxspec = pl.BlockSpec((1, tm), lambda ni, ki: (ki, 0),
+        # whole sx array per step (tiny); a (1, tm) block violates the
+        # >=8-sublane rule when k//tk > 1 — kernels read row ki themselves
+        sxspec = pl.BlockSpec((k // tk, tm), lambda ni, ki: (0, 0),
                               memory_space=pltpu.VMEM)
         call = pl.pallas_call(functools.partial(kern, **kw),
                               in_specs=[xqspec, sxspec, qspec, sspec],
@@ -736,6 +910,25 @@ def make_call(kern, opts, k, n, m, tk, tn, fmt):
             x3 = x.astype(jnp.float32).reshape(tm, k // tk, tk)
             x3 = x3.transpose(1, 0, 2)                   # [k//tk, tm, tk]
             amax = jnp.max(jnp.abs(x3), axis=2)          # [k//tk, tm]
+            sx = jnp.where(amax > 0, amax / 127.0, 1.0)
+            xq = jnp.clip(jnp.round(x3 / sx[:, :, None]),
+                          -127, 127).astype(jnp.int8)
+            xq = xq.transpose(1, 0, 2).reshape(tm, k)
+            return [xq, sx, lw[qkey], lw["s"]]
+    elif hoist == "a8g128":
+        # full-tk int8 activations with per-(row, 128-group) scales
+        xqspec = pl.BlockSpec((tm, tk), lambda ni, ki: (0, ki),
+                              memory_space=pltpu.VMEM)
+        sxspec = pl.BlockSpec((k // G128, tm), lambda ni, ki: (0, 0),
+                              memory_space=pltpu.VMEM)
+        call = pl.pallas_call(functools.partial(kern, **kw),
+                              in_specs=[xqspec, sxspec, qspec, sspec],
+                              **common)
+
+        def ops_of(x, lw, qkey):
+            x3 = x.astype(jnp.float32).reshape(tm, k // G128, G128)
+            x3 = x3.transpose(1, 0, 2)                   # [k//G128, tm, G128]
+            amax = jnp.max(jnp.abs(x3), axis=2)          # [k//G128, tm]
             sx = jnp.where(amax > 0, amax / 127.0, 1.0)
             xq = jnp.clip(jnp.round(x3 / sx[:, :, None]),
                           -127, 127).astype(jnp.int8)
@@ -863,7 +1056,17 @@ def run_variant(name, kern, opts, k=8192, n=7168, m=8, layers=24, steps=8,
 
 def correctness(name, kern, opts, k=512, n=512, m=8):
     """Check the variant against the jnp dequant path."""
-    if name in ("decode_only", "dma_only", "w16dot"):
+    if name in ("decode_only", "dma_only", "dma_pure", "w16dot",
+                # bitcast_i4*: nibble order under pltpu.bitcast is a fixed
+                # k-permutation of Q4_0's — throughput probes only until a
+                # production layout pre-permutes x/scales to match
+                "bitcast_i4", "bitcast_i4_bf16", "bitcast_i4_i8dot",
+                "bitcast_i4_i4dot", "bitcast_i4_i8dot_g128",
+                "bitcast_i4_i8dot_g128_lazy",
+                # fulltk forms fold a stand-in scale (s[0] / fixed global
+                # activation scale): execution-format throughput probes,
+                # not Q4_0/Q8_0-exact
+                "w8a8_fulltk", "w4a8_split_fulltk"):
         return
     from llamago_tpu.ops import quant
     fmt = opts.get("fmt", "q4")

@@ -219,3 +219,122 @@ def test_lm_head_pad_and_slice_agree(tiny_config):
                      pos, cfg)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------- w4x8
+# int4 exec format (ops/quant.py quantize_w4x8 + ops/kernels.py
+# _w4x8_* kernels): hardware-bitcast nibble layout, group-128 scales,
+# W4A8 int8-MXU decode path.
+
+from llamago_tpu.ops.quant import (  # noqa: E402
+    G4X8,
+    int4_exec_format,
+    quantize_w4x8,
+    unpack_w4x8,
+    w4x8_from_leaf,
+)
+
+
+def test_w4x8_roundtrip_error():
+    w = jnp.asarray(rnd((256, 64), seed=11))
+    q = quantize_w4x8(w)
+    assert is_quantized(q)
+    assert q["q4x"].dtype == jnp.uint8 and q["q4x"].shape == (128, 64)
+    assert q["s"].shape == (2 * (256 // G4X8), 64)  # dup rows
+    deq = dequantize(q)
+    err = np.abs(np.asarray(deq) - np.asarray(w))
+    d = np.abs(np.asarray(q["s"], np.float32))
+    bound = d * (1.0 + 8.0 * 2.0**-9)  # same clip/bf16 analysis as Q4_0
+    assert (err.reshape(4, G4X8 // 2, 64) <= bound[:, None, :] + 1e-6).all()
+
+
+def test_w4x8_pack_matches_bitcast():
+    """The interleaved packing must agree with pltpu.bitcast's sublane
+    order — this is the load-time contract the decode kernel relies on
+    (verified identical on real v5e and in interpret mode)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    w = jnp.asarray(rnd((128, 128), seed=12))
+    q = quantize_w4x8(w)
+
+    def kern(q_ref, o_ref):
+        o_ref[:] = pltpu.bitcast(q_ref[:], jnp.int4).astype(jnp.int32)
+
+    got = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((128, 128), jnp.int32),
+        interpret=jax.default_backend() != "tpu",
+    )(q["q4x"])
+    ref = unpack_w4x8(q["q4x"]).astype(jnp.int32)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_w4x8_decode_kernel_matches_reference():
+    """W4A8 decode path (m <= 16): activation int8 quantization bounds
+    the error at ~1/127 relative per group."""
+    k, n, m = 256, 256, 3
+    w = jnp.asarray(rnd((k, n), seed=13, scale=0.1))
+    x = jnp.asarray(rnd((m, k), seed=14))
+    q = quantize_w4x8(w)
+    ref = jnp.dot(x, dequantize(q))
+    kernels.FORCE_INTERPRET = True
+    try:
+        assert kernels.can_fuse(x, q)
+        got = kernels.dequant_matmul(x, q)
+    finally:
+        kernels.FORCE_INTERPRET = False
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_w4x8_stream_kernel_matches_reference():
+    """Prefill path (m > 16): exact w4x8 numerics, f32 dequant chain."""
+    k, n, m = 256, 256, 64
+    w = jnp.asarray(rnd((k, n), seed=15, scale=0.1))
+    x = jnp.asarray(rnd((m, k), seed=16))
+    q = quantize_w4x8(w)
+    ref = jnp.dot(x, dequantize(q))
+    kernels.FORCE_INTERPRET = True
+    try:
+        assert kernels.can_fuse(x, q)
+        got = kernels.dequant_matmul(x, q)
+    finally:
+        kernels.FORCE_INTERPRET = False
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_w4x8_from_q4_leaf():
+    w = jnp.asarray(rnd((256, 64), seed=17))
+    q4 = quantize(w, bits=4)
+    q4x = w4x8_from_leaf(q4)
+    assert "q4x" in q4x and q4x["s"].shape == (4, 64)
+    # requantization error: bounded by the sum of both rounding steps
+    err = np.abs(np.asarray(dequantize(q4x)) - np.asarray(dequantize(q4)))
+    d = np.abs(np.asarray(q4x["s"], np.float32))
+    assert (err.reshape(4, G4X8 // 2, 64) <= d[:, None, :] * 1.01 + 1e-6).all()
+    # Q4_1 affine and odd-k leaves pass through untouched
+    q41 = dict(q4, m=jnp.zeros_like(q4["s"]))
+    assert w4x8_from_leaf(q41) is q41
+
+
+def test_w4x8_exec_format_selection(tiny_config, monkeypatch):
+    from llamago_tpu import config as cfgmod
+
+    cfg = tiny_config
+    params = {
+        "tok_embeddings": rnd((cfg.vocab_size, cfg.dim), seed=18),
+        "norm": rnd((cfg.dim,), seed=19),
+        "output": rnd((cfg.dim, cfg.vocab_size), seed=20),
+        "layers": {},
+    }
+    cfg4 = cfgmod.ModelConfig(**{**cfg.__dict__, "weight_dtype": "int4"})
+    monkeypatch.setenv("LLAMAGO_INT4_EXEC", "w4x8")
+    qp = quantize_params(cfg4, params)
+    if cfg.dim % G4X8 == 0:
+        assert "q4x" in qp["output"]
+    monkeypatch.setenv("LLAMAGO_INT4_EXEC", "q4_0")
+    qp = quantize_params(cfg4, params)
+    assert "q4" in qp["output"] or not is_quantized(qp["output"])
+    assert int4_exec_format() == "q4_0"
