@@ -5,7 +5,7 @@
 
 PY ?= python
 
-.PHONY: all test test-fast lint native bench convert16 convert32 quantize8 quantize4 clean
+.PHONY: all test test-all test-fast lint native bench convert16 convert32 quantize8 quantize4 clean
 
 all: native test
 
@@ -20,6 +20,9 @@ native:
 	$(PY) -m llamago_tpu.native --build
 
 test: lint
+	$(PY) -m pytest tests/ -q -m "not slow"
+
+test-all: lint
 	$(PY) -m pytest tests/ -q
 
 test-fast:

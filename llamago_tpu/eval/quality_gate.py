@@ -176,10 +176,39 @@ def run_gate(steps: int = 400, batch: int = 8, ctx: int = 256,
         "gate_kv_int8_pass": bool(deltas.get("kv_int8", 9e9) <= 0.1),
     }
     if fused:
-        fres = {"dense_bf16": ppl_of(f32_path, compute="bfloat16")}
-        for kind in kinds:
-            fres[kind] = ppl_of(qpaths[kind], compute="bfloat16")
-        fdeltas = {k: fres[k] - fres["dense_bf16"] for k in kinds}
+        from llamago_tpu.ops import kernels as _kernels
+        from llamago_tpu.ops.quant import _INT4_EXEC_ENV
+
+        saved_exec = os.environ.get(_INT4_EXEC_ENV)
+        saved_a8 = _kernels._W4X8_A8_MAX_M
+        try:
+            # ggml-exact exec for the file-format rows (the loader would
+            # otherwise auto-upgrade q4_0 leaves to w4x8 on TPU)
+            os.environ[_INT4_EXEC_ENV] = "q4_0"
+            fres = {"dense_bf16": ppl_of(f32_path, compute="bfloat16")}
+            for kind in kinds:
+                fres[kind] = ppl_of(qpaths[kind], compute="bfloat16")
+            fkeys = list(kinds)
+            if "q4_0" in qpaths:
+                # w4x8 exec rows — what int4 SERVING actually runs on TPU
+                # (ops/kernels.py): "w4x8" = the prefill/stream numerics
+                # (group-128 requant of the Q4_0 blocks, exact kernel
+                # arithmetic); "w4x8_a8" forces every matmul through the
+                # W4A8 decode kernel (per-(row,128-group) int8 activation
+                # quantization + int8 MXU dots) so the decode-path error
+                # is gated, not just the teacher-forced prefill path.
+                os.environ[_INT4_EXEC_ENV] = "w4x8"
+                fres["w4x8"] = ppl_of(qpaths["q4_0"], compute="bfloat16")
+                _kernels._W4X8_A8_MAX_M = 4096
+                fres["w4x8_a8"] = ppl_of(qpaths["q4_0"], compute="bfloat16")
+                fkeys += ["w4x8", "w4x8_a8"]
+        finally:
+            _kernels._W4X8_A8_MAX_M = saved_a8
+            if saved_exec is None:
+                os.environ.pop(_INT4_EXEC_ENV, None)
+            else:
+                os.environ[_INT4_EXEC_ENV] = saved_exec
+        fdeltas = {k: fres[k] - fres["dense_bf16"] for k in fkeys}
         out["fused"] = {
             "backend": jax.default_backend(),
             "fused": jax.default_backend() == "tpu",
@@ -187,6 +216,7 @@ def run_gate(steps: int = 400, batch: int = 8, ctx: int = 256,
             "ppl": {k: round(v, 4) for k, v in fres.items()},
             "ppl_delta_vs_dense_bf16": {k: round(v, 4) for k, v in fdeltas.items()},
             "gate_int4_pass": bool(fdeltas.get("q4_0", 9e9) <= 0.1),
+            "gate_w4x8_pass": bool(fdeltas.get("w4x8_a8", 9e9) <= 0.1),
         }
     return out
 

@@ -366,7 +366,8 @@ def _w4x8_tk(k: int) -> int | None:
     return k
 
 
-def _plan_w4x8_tiles(m: int, k: int, n: int) -> tuple[int, int] | None:
+def _plan_w4x8_tiles(m: int, k: int, n: int,
+                     a8_max: int | None = None) -> tuple[int, int] | None:
     """(tk, tn) for the w4x8 kernels. Swept on v5e at the 70B shard
     shape: rate rises with tn (full-width best: 464.6 GB/s at tk=512
     tn=7168 vs 418 at tn=3584) and tk=512 is the largest contraction
@@ -376,6 +377,8 @@ def _plan_w4x8_tiles(m: int, k: int, n: int) -> tuple[int, int] | None:
     losing double buffering on larger shapes."""
     if m > 1024:
         return None
+    if a8_max is None:
+        a8_max = _W4X8_A8_MAX_M
     tk = _w4x8_tk(k)
     if tk is None:
         return None
@@ -384,7 +387,7 @@ def _plan_w4x8_tiles(m: int, k: int, n: int) -> tuple[int, int] | None:
         est = (
             2 * (tk // 2) * tn       # packed u8 block, double-buffered
             + tk * tn                # int8 unpack target
-            + (tk * tn * 4 if tm > _W4X8_A8_MAX_M else tm * tk)
+            + (tk * tn * 4 if tm > a8_max else tm * tk)
             + tm * tn * 4            # f32 output tile
             + 2 * (tk // 64) * tn * 2  # scale block (bf16, dup rows)
         )
@@ -393,11 +396,12 @@ def _plan_w4x8_tiles(m: int, k: int, n: int) -> tuple[int, int] | None:
     return None
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _w4x8_matmul_2d(x: jnp.ndarray, q: jnp.ndarray, s: jnp.ndarray):
+@functools.partial(jax.jit, static_argnames=("a8_max",))
+def _w4x8_matmul_2d(x: jnp.ndarray, q: jnp.ndarray, s: jnp.ndarray,
+                    a8_max: int):
     m, k = x.shape
     n = s.shape[-1]
-    tk, tn = _plan_w4x8_tiles(m, k, n)  # callers gate via can_fuse
+    tk, tn = _plan_w4x8_tiles(m, k, n, a8_max)  # callers gate via can_fuse
     tm = max(8, m)
     if m < tm:
         x = jnp.pad(x, ((0, tm - m), (0, 0)))
@@ -420,7 +424,7 @@ def _w4x8_matmul_2d(x: jnp.ndarray, q: jnp.ndarray, s: jnp.ndarray):
     # output tile (measured +2.6% from declaring this at the shard shape)
     params = pltpu.CompilerParams(
         dimension_semantics=("parallel", "arbitrary"))
-    if tm <= _W4X8_A8_MAX_M:
+    if tm <= a8_max:
         groups = k // G4X8
         x3 = x.astype(jnp.float32).reshape(tm, groups, G4X8)
         x3 = x3.transpose(1, 0, 2)                       # [groups, tm, G]
@@ -541,7 +545,10 @@ def dequant_matmul(x: jnp.ndarray, w: dict) -> jnp.ndarray:
     for d in lead:
         m *= d
     if "q4x" in w:
-        out = _w4x8_matmul_2d(x.reshape(m, k), w["q4x"], w["s"])
+        # a8 threshold is a static jit arg so callers (e.g. the quality
+        # gate's w4x8_a8 row) can flip it without stale trace reuse
+        out = _w4x8_matmul_2d(x.reshape(m, k), w["q4x"], w["s"],
+                              _W4X8_A8_MAX_M)
     else:
         bits = 8 if "q8" in w else 4
         q = w["q8"] if bits == 8 else w["q4"]

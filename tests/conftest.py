@@ -99,3 +99,24 @@ def random_ggjt_tensors(config: ModelConfig, seed: int = 0) -> dict[str, np.ndar
         tensors[p + "feed_forward.w2.weight"] = mat(d, f)
         tensors[p + "feed_forward.w3.weight"] = mat(f, d)
     return tensors
+
+
+def pytest_collection_modifyitems(config, items):
+    """Mark the recorded long-running tests `slow` so the default gate
+    (`make test`, -m "not slow") stays fast on a 1-CPU box while
+    `make test-all` runs everything. tests/slow_tests.txt is the
+    recorded >=4.5s set from a full single-threaded run (regenerate
+    with `pytest --durations=0` and scripts/update_slow_tests.py);
+    node ids that stop existing are ignored, new slow tests are added
+    by re-recording."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "slow_tests.txt")
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        slow = {ln.strip() for ln in f if ln.strip()}
+    mark = pytest.mark.slow
+    for item in items:
+        # nodeid is rootdir-relative ("tests/test_x.py::test_y[param]")
+        if item.nodeid in slow:
+            item.add_marker(mark)

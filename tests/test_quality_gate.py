@@ -52,7 +52,8 @@ def test_quality_gate_end_to_end(tmp_path):
     small relative to fp32 (the real artifact uses many more steps).
     fused=True also exercises the device-path rows (bf16 compute with
     quantized leaves — Pallas on TPU, jnp dequant at bf16 here on CPU)."""
-    r = run_gate(steps=8, batch=2, ctx=64, dim=64, n_layers=2,
+    # dim=128 so the w4x8 exec rows actually engage (k % 128 == 0)
+    r = run_gate(steps=8, batch=2, ctx=64, dim=128, n_layers=2,
                  tmp_dir=str(tmp_path), fused=True)
     assert set(r["ppl"]) == {"fp32", "q8_0", "q4_0", "q4_1", "kv_int8"}
     for k, v in r["ppl"].items():
@@ -63,7 +64,12 @@ def test_quality_gate_end_to_end(tmp_path):
     assert abs(r["ppl_delta_vs_fp32"]["kv_int8"]) < 0.5 * r["ppl"]["fp32"]
     f = r["fused"]
     assert f["compute_dtype"] == "bfloat16"
-    assert set(f["ppl"]) == {"dense_bf16", "q8_0", "q4_0", "q4_1"}
+    assert set(f["ppl"]) == {"dense_bf16", "q8_0", "q4_0", "q4_1",
+                             "w4x8", "w4x8_a8"}
+    # w4x8's group-128 requant of the Q4_0 blocks stays in q4_0's
+    # error neighborhood even on a barely-trained model
+    assert abs(f["ppl_delta_vs_dense_bf16"]["w4x8"]) < 0.5 * f["ppl"]["dense_bf16"]
+    assert abs(f["ppl_delta_vs_dense_bf16"]["w4x8_a8"]) < 0.5 * f["ppl"]["dense_bf16"]
     for k, v in f["ppl"].items():
         assert np.isfinite(v) and 1.0 < v < 400.0, (k, v)
     # the fused deltas isolate quantization error at bf16 compute: the
