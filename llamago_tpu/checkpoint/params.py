@@ -283,9 +283,13 @@ def random_quantized_parameters(
     """
     from functools import partial
 
-    from llamago_tpu.ops.quant import QK, QUANT_LEAVES
+    from llamago_tpu.ops.quant import QK, QUANT_LEAVES, int4_exec_format
 
     bits = {"int8": 8, "int4": 4}[config.weight_dtype]
+    # int4 leaves are created in the runtime exec format (w4x8 on TPU:
+    # interleaved nibbles + duplicated group-64 scale rows, ops/quant.py)
+    # so benches exercise the kernels real weights would hit
+    w4x8 = bits == 4 and int4_exec_format() == "w4x8"
     dtype = jnp.bfloat16
     d, v, f = config.dim, config.vocab_size, config.ffn_hidden
     h, kv, hd, layers = config.n_heads, config.kv_heads, config.head_dim, config.n_layers
@@ -310,7 +314,13 @@ def random_quantized_parameters(
         reps = (total + pool.shape[0] - 1) // pool.shape[0]
         src = jnp.tile(pool, reps)[:total] if reps > 1 else pool[:total]
         q = (src ^ salt).reshape(*lead, rows, n)
-        body = {"q8": q.astype(jnp.int8)} if bits == 8 else {"q4": q}
+        if bits == 8:
+            body = {"q8": q.astype(jnp.int8)}
+        elif w4x8 and k % 128 == 0:
+            return {"q4x": q,
+                    "s": jnp.full((*lead, k // 64, n), 0.01, jnp.bfloat16)}
+        else:
+            body = {"q4": q}
         return {**body, "s": jnp.full((*lead, k // QK, n), 0.01, jnp.bfloat16)}
 
     def qleaf(key, shape):
@@ -366,7 +376,7 @@ def _concat_weights(ws, axis=-1):
         # every quantized sub-leaf concatenates along the out dim: q blocks,
         # scales, and (Q4_1) the per-block mins "m" — dropping "m" would
         # silently dequantize an affine checkpoint with Q4_0 semantics
-        qk = "q8" if "q8" in ws[0] else "q4"
+        qk = "q8" if "q8" in ws[0] else ("q4x" if "q4x" in ws[0] else "q4")
         keys = [qk, "s"] + (["m"] if "m" in ws[0] else [])
         out: dict = {}
         for key in keys:

@@ -144,9 +144,12 @@ def run_gate(steps: int = 400, batch: int = 8, ctx: int = 256,
     write_ggjt(f32_path, config, vocab, export_ggjt_tensors(config, params),
                ftype=0)
 
-    def ppl_of(path: str, compute: str = "float32", kv: str = "auto") -> float:
+    def ppl_of(path: str, compute: str = "float32", kv: str = "auto",
+               weight_dtype: str | None = None) -> float:
         ckpt = read_ggjt(path, max_seq_len=ctx)
         cfg = ckpt.config.replace(dtype=compute, max_seq_len=ctx, kv_dtype=kv)
+        if weight_dtype is not None:  # quantize dense leaves at load
+            cfg = cfg.replace(weight_dtype=weight_dtype)
         p = load_parameters(cfg, ckpt.tensors)
         return perplexity(p, cfg, eval_ids, ctx=ctx)["ppl"]
 
@@ -201,7 +204,13 @@ def run_gate(steps: int = 400, batch: int = 8, ctx: int = 256,
                 fres["w4x8"] = ppl_of(qpaths["q4_0"], compute="bfloat16")
                 _kernels._W4X8_A8_MAX_M = 4096
                 fres["w4x8_a8"] = ppl_of(qpaths["q4_0"], compute="bfloat16")
-                fkeys += ["w4x8", "w4x8_a8"]
+                # dense -> w4x8 directly (one rounding step): the path a
+                # user quantizing a real f32/f16 checkpoint takes; the
+                # rows above measure the worst case (re-quantizing an
+                # already-Q4_0 file, two rounding steps)
+                fres["w4x8_direct"] = ppl_of(f32_path, compute="bfloat16",
+                                             weight_dtype="int4")
+                fkeys += ["w4x8", "w4x8_a8", "w4x8_direct"]
         finally:
             _kernels._W4X8_A8_MAX_M = saved_a8
             if saved_exec is None:

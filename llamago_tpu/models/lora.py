@@ -51,6 +51,8 @@ def _leaf_dims(leaf) -> tuple[tuple, int, int]:
     if is_quantized(leaf):
         if "q8" in leaf:
             k = leaf["q8"].shape[-2]
+        elif "q4x" in leaf:
+            k = leaf["q4x"].shape[-2] * 2
         else:
             k = leaf["q4"].shape[-2] * 2
         return leaf["s"].shape[:-2], k, leaf["s"].shape[-1]

@@ -360,7 +360,10 @@ def _w4x8_tk(k: int) -> int | None:
         return None
     if k % 512 == 0:
         return 512
-    for t in range(512, k, 128):  # smallest 128-aligned divisor >= 512
+    # the per-tile scale block has tk/64 sublanes, which Mosaic requires
+    # to be a multiple of 8 (-> tk % 512 == 0) unless the block spans the
+    # whole array (tk == k, equal-to-array dims are always legal)
+    for t in range(1024, k, 512):  # smallest 512-aligned divisor
         if k % t == 0:
             return t
     return k
@@ -379,20 +382,25 @@ def _plan_w4x8_tiles(m: int, k: int, n: int,
         return None
     if a8_max is None:
         a8_max = _W4X8_A8_MAX_M
-    tk = _w4x8_tk(k)
-    if tk is None:
+    tk0 = _w4x8_tk(k)
+    if tk0 is None:
         return None
     tm = max(8, m)
     for tn in _aligned_divisors_desc(n, cap=_DECODE_TN_CAP):
-        est = (
-            2 * (tk // 2) * tn       # packed u8 block, double-buffered
-            + tk * tn                # int8 unpack target
-            + (tk * tn * 4 if tm > a8_max else tm * tk)
-            + tm * tn * 4            # f32 output tile
-            + 2 * (tk // 64) * tn * 2  # scale block (bf16, dup rows)
-        )
-        if est <= _VMEM_BUDGET:
-            return tk, tn
+        # full width first (DMA burst length dominates), then the widest
+        # contraction tile that fits — fewer grid steps on narrow-n
+        # shapes (e.g. a 70B shard's wqkv at n=1280)
+        tks = [t for t in (2048, 1024) if tk0 == 512 and k % t == 0]
+        for tk in tks + [tk0]:
+            est = (
+                2 * (tk // 2) * tn       # packed u8 block, double-buffered
+                + tk * tn                # int8 unpack target
+                + (tk * tn * 4 if tm > a8_max else tm * tk)
+                + tm * tn * 4            # f32 output tile
+                + 2 * (tk // 64) * tn * 2  # scale block (bf16, dup rows)
+            )
+            if est <= _VMEM_BUDGET:
+                return tk, tn
     return None
 
 

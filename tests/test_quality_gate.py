@@ -65,7 +65,7 @@ def test_quality_gate_end_to_end(tmp_path):
     f = r["fused"]
     assert f["compute_dtype"] == "bfloat16"
     assert set(f["ppl"]) == {"dense_bf16", "q8_0", "q4_0", "q4_1",
-                             "w4x8", "w4x8_a8"}
+                             "w4x8", "w4x8_a8", "w4x8_direct"}
     # w4x8's group-128 requant of the Q4_0 blocks stays in q4_0's
     # error neighborhood even on a barely-trained model
     assert abs(f["ppl_delta_vs_dense_bf16"]["w4x8"]) < 0.5 * f["ppl"]["dense_bf16"]
