@@ -302,12 +302,56 @@ def _make_params(config, weight_dtype):
         # quantized leaves are created directly (no dense transient /
         # quantize pass) — same layout and bandwidth as real weights
         params = random_quantized_parameters(config, seed=0, layered=True)
+    elif config.n_layers >= 16:
+        # dense bench weights, generated PER LAYER: random_parameters
+        # builds [L, ...]-stacked leaves whose f32 generation transient
+        # (5.8 GB for a stacked 7B ffn leaf) OOMs a 16 GB chip that the
+        # final 13.5 GB bf16 tree fits (measured 2026-08-20)
+        params = _dense_layered_params(config)
     else:
         params = random_parameters(config, seed=0)
         params = unstack_layer_params(params, config.n_layers)
     if os.environ.get("BENCH_FUSE", "1") == "1":
         params = fuse_layer_weights(params)  # QKV + W13 fusion
     return params
+
+
+def _dense_layered_params(config):
+    """Random dense bench weights as per-layer leaves (the unrolled
+    forward's layout), one jitted normal per leaf — peak HBM stays one
+    2-D f32 leaf above the final footprint."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.dtype(config.dtype)
+    d, v, f = config.dim, config.vocab_size, config.ffn_hidden
+    h, kv, hd = config.n_heads, config.kv_heads, config.head_dim
+    keys = iter(jax.random.split(jax.random.PRNGKey(0),
+                                 16 * (config.n_layers + 1)))
+
+    @functools.partial(jax.jit, static_argnames=("shape",))
+    def make(key, shape):
+        if len(shape) == 1:
+            return jnp.ones(shape, dtype)
+        return (jax.random.normal(key, shape, jnp.float32) * 0.02).astype(dtype)
+
+    layer_shapes = {
+        "attention_norm": (d,), "ffn_norm": (d,),
+        "wq": (d, h * hd), "wk": (d, kv * hd), "wv": (d, kv * hd),
+        "wo": (h * hd, d), "w1": (d, f), "w2": (f, d), "w3": (d, f),
+    }
+    layers = tuple(
+        {k: make(next(keys), s) for k, s in layer_shapes.items()}
+        for _ in range(config.n_layers)
+    )
+    return {
+        "tok_embeddings": make(next(keys), (v, d)),
+        "norm": make(next(keys), (d,)),
+        "output": make(next(keys), (d, v)),
+        "layers": layers,
+    }
 
 
 def bench_decode() -> dict:
@@ -337,8 +381,14 @@ def bench_decode() -> dict:
     prompt_len = 64 if on_tpu else 8
 
     hbm_detail: dict = {}
-    hbm_gbps = measure_hbm_gbps(jax, size_mb=512 if on_tpu else 64,
-                                detail=hbm_detail)
+    if os.environ.get("BENCH_SKIP_HBM", "0") == "1":
+        # capacity-marginal configs (7B bf16 = 13.5 GB weights on a
+        # 16 GB chip) OOM with the probe buffers resident; the row then
+        # reports tok/s without a same-run roofline
+        hbm_gbps = 0.0
+    else:
+        hbm_gbps = measure_hbm_gbps(jax, size_mb=512 if on_tpu else 64,
+                                    detail=hbm_detail)
 
     t0 = time.time()
     params = _make_params(config, weight_dtype)
@@ -972,29 +1022,50 @@ def bench_shard70b() -> dict:
     }
 
 
+_MODE_OF = {"bench_decode": "decode", "bench_serve": "serve",
+            "bench_soak": "soak", "bench_shard70b": "shard70b"}
+
+
 def bench_matrix() -> dict:
     """Run the recorded benchmark battery and write each result to
     bench_artifacts/ (VERDICT r1: configs must exist as artifacts, not
-    prose). Returns the headline (7B int8 decode) result."""
+    prose). Returns the headline (7B int8 decode) result.
+
+    Each row runs in a FRESH SUBPROCESS: one resident process
+    accumulates every row's device arrays (XLA buffers outlive the
+    Python refs long enough that the 7B bf16 row OOMed a 16 GB chip
+    after the int8+int4 rows — measured 2026-08-20), and a row that
+    dies must not kill the battery (the r4 0-byte-artifact failure
+    mode). Failures are recorded in summary.json as error rows."""
+    import subprocess
+
     os.makedirs("bench_artifacts", exist_ok=True)
     results = []
 
     def record(name, env, fn):
-        saved = {k: os.environ.get(k) for k in env}
-        os.environ.update(env)
+        mode = _MODE_OF[fn.__name__]
+        sub_env = {**os.environ, **env, "BENCH_MODE": mode}
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=sub_env, capture_output=True, text=True,
+            timeout=float(os.environ.get("BENCH_ROW_TIMEOUT", "3600")),
+        )
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
         try:
-            r = fn()
-            r.update(_provenance())
-            results.append(r)
-            with open(f"bench_artifacts/{name}.json", "w") as f:
-                json.dump(r, f, indent=1)
-            sys.stderr.write(f"[matrix] {name}: {r['value']} {r['unit']}\n")
-        finally:
-            for k, v in saved.items():
-                if v is None:
-                    os.environ.pop(k, None)
-                else:
-                    os.environ[k] = v
+            r = json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            r = None
+        if proc.returncode != 0 or r is None:
+            tail = "\n".join(proc.stderr.splitlines()[-4:])
+            sys.stderr.write(f"[matrix] {name}: FAILED rc={proc.returncode}\n"
+                             f"{tail}\n")
+            results.append({"metric": name, "error": f"rc={proc.returncode}",
+                            "stderr_tail": tail, **_provenance()})
+            return None
+        results.append(r)
+        with open(f"bench_artifacts/{name}.json", "w") as f:
+            json.dump(r, f, indent=1)
+        sys.stderr.write(f"[matrix] {name}: {r['value']} {r['unit']}\n")
         return r
 
     headline = record("decode_7b_int8", {"BENCH_WEIGHT_DTYPE": "int8"}, bench_decode)
@@ -1015,7 +1086,8 @@ def bench_matrix() -> dict:
                  "decode_7b_bf16 is the dense-weights anchor."),
         **_provenance(),
     })
-    record("decode_7b_bf16", {"BENCH_WEIGHT_DTYPE": "bfloat16"}, bench_decode)
+    record("decode_7b_bf16", {"BENCH_WEIGHT_DTYPE": "bfloat16",
+                              "BENCH_SKIP_HBM": "1"}, bench_decode)
     record("decode_7b_int8_sampled",
            {"BENCH_WEIGHT_DTYPE": "int8", "BENCH_TEMP": "0.5"}, bench_decode)
     for b in (2, 4, 8):
@@ -1030,6 +1102,12 @@ def bench_matrix() -> dict:
     # 2026-08-19) — the kvq row is the capacity headline.
     record("decode_7b_int8_b8_kvq",
            {"BENCH_WEIGHT_DTYPE": "int8", "BENCH_BATCH": "8",
+            "BENCH_KV_DTYPE": "int8"},
+           bench_decode)
+    # int4 weights (w4x8 exec) + int8 cache at the serving batch — the
+    # highest-throughput single-chip config after r5's kernel work
+    record("decode_7b_int4_b8_kvq",
+           {"BENCH_WEIGHT_DTYPE": "int4", "BENCH_BATCH": "8",
             "BENCH_KV_DTYPE": "int8"},
            bench_decode)
     record("decode_7b_int8_b8_ctx2048_kvq",
@@ -1055,6 +1133,9 @@ def bench_matrix() -> dict:
         record("decode_llama3_8b_int8",
                {"BENCH_MODEL": "llama3-8B", "BENCH_WEIGHT_DTYPE": "int8"},
                bench_decode)
+        record("decode_llama3_8b_int4",
+               {"BENCH_MODEL": "llama3-8B", "BENCH_WEIGHT_DTYPE": "int4"},
+               bench_decode)
         record("decode_llama3_8b_int8_b8",
                {"BENCH_MODEL": "llama3-8B", "BENCH_WEIGHT_DTYPE": "int8",
                 "BENCH_BATCH": "8"},
@@ -1078,10 +1159,16 @@ def bench_matrix() -> dict:
             "BENCH_KV_DTYPE": "int8"}, bench_serve)
     if os.environ.get("BENCH_MATRIX_SOAK", "1") == "1":
         record("serve_soak", {"BENCH_WEIGHT_DTYPE": "int8"}, bench_soak)
+        record("serve_soak_slots8",
+               {"BENCH_WEIGHT_DTYPE": "int8", "BENCH_PODS": "8"}, bench_soak)
     record("shard70b_int4", {}, bench_shard70b)
     with open("bench_artifacts/summary.json", "w") as f:
         json.dump(results, f, indent=1)
-    return headline
+    failed = [r["metric"] for r in results if "error" in r]
+    if failed:
+        sys.stderr.write(f"[matrix] {len(failed)} FAILED rows: {failed}\n")
+    return headline or {"metric": "bench_matrix", "value": 0,
+                        "unit": "headline row failed", "vs_baseline": 0}
 
 
 def main() -> None:

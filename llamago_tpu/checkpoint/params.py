@@ -224,7 +224,14 @@ def random_parameters(
 
     quant_bits = {"int8": 8, "int4": 4}.get(config.weight_dtype)
     if quant_bits is not None:
-        from llamago_tpu.ops.quant import QUANT_LEAVES, quantize
+        from llamago_tpu.ops.quant import (
+            QUANT_LEAVES,
+            int4_exec_format,
+            quantize,
+            quantize_w4x8,
+        )
+
+        use_w4x8 = quant_bits == 4 and int4_exec_format() == "w4x8"
 
     leaves, treedef = jax.tree.flatten(shapes, is_leaf=lambda x: isinstance(x, tuple))
     paths = [
@@ -251,7 +258,10 @@ def random_parameters(
         leaf = make(key, shape)
         name = path.rsplit("/", 1)[-1]
         if quant_bits is not None and name in QUANT_LEAVES:
-            leaf = quantize(leaf, quant_bits)
+            if use_w4x8 and shape[-2] % 128 == 0:
+                leaf = quantize_w4x8(leaf)
+            else:
+                leaf = quantize(leaf, quant_bits)
             if name == "output" and shardings is None:
                 # stride-align the int8 lm head, same policy as
                 # quantize_params / random_quantized_parameters

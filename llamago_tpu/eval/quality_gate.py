@@ -318,6 +318,24 @@ def main(argv=None) -> int:
     else:
         result = run_gate(steps=args.steps, batch=args.batch, ctx=args.ctx,
                           dim=args.dim, n_layers=args.layers, fused=args.fused)
+    # provenance stamp (same fields as bench.py artifacts)
+    import subprocess
+    import time as _time
+
+    try:
+        rev = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+            text=True, timeout=10,
+            cwd=os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+        ).stdout.strip() or "unknown"
+    except Exception:
+        rev = "unknown"
+    result.update({
+        "measured_at": _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime()),
+        "git_rev": rev,
+        "backend": jax.default_backend(),
+    })
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
