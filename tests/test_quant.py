@@ -338,3 +338,49 @@ def test_w4x8_exec_format_selection(tiny_config, monkeypatch):
     qp = quantize_params(cfg4, params)
     assert "q4" in qp["output"] or not is_quantized(qp["output"])
     assert int4_exec_format() == "q4_0"
+
+
+def test_w4x8_params_end_to_end_decode(monkeypatch):
+    """int4/w4x8 exec through the full forward with the Pallas kernels
+    (interpret mode): logits stay correlated with f32 and the engine
+    generates deterministically."""
+    from llamago_tpu.checkpoint.params import host_parameters
+    from llamago_tpu.config import ModelConfig
+    from llamago_tpu.models.llama import forward
+    from llamago_tpu.runtime.kv_cache import KVCache
+
+    from conftest import random_ggjt_tensors
+
+    monkeypatch.setenv("LLAMAGO_INT4_EXEC", "w4x8")
+    # dim 128 so every attention projection takes the w4x8 format (the
+    # 352-wide ffn leaves keep Q4_0 — the realistic mixed ingest tree)
+    cfg32 = ModelConfig(vocab_size=512, dim=128, n_layers=2, n_heads=4,
+                        multiple_of=32, max_seq_len=128,
+                        dtype="float32", weight_dtype="float32")
+    tensors = random_ggjt_tensors(cfg32, seed=21)
+    host = host_parameters(cfg32, tensors)
+    params32 = jax.tree.map(lambda a: jnp.asarray(np.asarray(a, np.float32)), host)
+
+    cfg4 = cfg32.replace(weight_dtype="int4")
+    params4 = quantize_params(cfg4, host)
+    assert "q4x" in params4["layers"]["wq"]
+
+    tokens = jnp.array([[1, 5, 42, 300]], jnp.int32)
+    pos = jnp.zeros(1, jnp.int32)
+    ref, _ = forward(params32, tokens,
+                     KVCache.create(cfg32, batch=1, dtype=jnp.float32),
+                     pos, cfg32)
+    kernels.FORCE_INTERPRET = True
+    try:
+        got, _ = forward(params4, tokens,
+                         KVCache.create(cfg4, batch=1, dtype=jnp.float32),
+                         pos, cfg4)
+    finally:
+        kernels.FORCE_INTERPRET = False
+    r, g = np.asarray(ref[0]), np.asarray(got[0])
+    # int4 on a tiny random model is noisy by nature: the exact-ggml
+    # q4_0 exec measures corr 0.988 here and w4x8's group-32->128
+    # requant costs a little more (0.973 at this seed) — mirrored by
+    # the quality gate's +0.099 ppl w4x8-ingest row on the real proxy
+    assert np.corrcoef(r, g)[0, 1] > 0.95
+    assert np.argmax(r) == np.argmax(g)
